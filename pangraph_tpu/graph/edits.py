@@ -1,0 +1,328 @@
+"""Per-genome edit sets relative to a block consensus.
+
+Reference semantics: `packages/pangraph/src/pangraph/edits.rs` (Sub/Del/Ins/Edit
+with apply / apply_aligned / concat / shift / reverse_complement / from_cigar /
+band statistics). Conventions preserved exactly:
+
+- `Ins.pos` is the consensus index *before which* the insertion sits; the
+  convention is "position after the insertion" at the producer side
+  (`align/map_variations.rs:70-73`), so pos ranges over 0..=len(consensus).
+- `apply` strips deletions and splices insertions (edits.rs:307-331);
+  multiple insertions at one position land in ascending (pos, seq) order.
+- `apply_aligned` keeps deletions as '-' and drops insertions (edits.rs:333).
+
+The containers are plain Python dataclasses with numpy payloads for insertion
+sequences; hot batched application happens in vectorized form.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from pangraph_tpu.graph.seq import GAP, as_seq, complement, revcomp
+
+
+@dataclass(frozen=True)
+class Sub:
+    pos: int
+    alt: str  # single character
+
+    def reverse_complement(self, length: int) -> "Sub":
+        # edits.rs:29-34
+        return Sub(length - self.pos - 1, chr(int(complement(as_seq(self.alt))[0])))
+
+    def shift(self, delta: int) -> "Sub":
+        return Sub(self.pos + delta, self.alt)
+
+
+@dataclass(frozen=True)
+class Del:
+    pos: int
+    len: int
+
+    @property
+    def end(self) -> int:
+        return self.pos + self.len
+
+    def contains(self, pos: int) -> bool:
+        return self.pos <= pos < self.end
+
+    def reverse_complement(self, length: int) -> "Del":
+        # edits.rs:68-73
+        return Del(length - self.pos - self.len, self.len)
+
+    def shift(self, delta: int) -> "Del":
+        return Del(self.pos + delta, self.len)
+
+
+@dataclass(frozen=True)
+class Ins:
+    pos: int
+    seq: str
+
+    def reverse_complement(self, length: int) -> "Ins":
+        # edits.rs:98-103
+        return Ins(length - self.pos, revcomp(as_seq(self.seq)).tobytes().decode())
+
+    def shift(self, delta: int) -> "Ins":
+        return Ins(max(self.pos + delta, 0), self.seq)
+
+
+@dataclass
+class Edit:
+    """An edit set: substitutions, deletions, insertions (edits.rs:116)."""
+
+    subs: list = field(default_factory=list)
+    dels: list = field(default_factory=list)
+    inss: list = field(default_factory=list)
+
+    # ---------------------------------------------------------------- basics
+    @staticmethod
+    def empty() -> "Edit":
+        return Edit()
+
+    @staticmethod
+    def deleted(length: int) -> "Edit":
+        # edits.rs:244-250
+        return Edit(dels=[Del(0, length)])
+
+    def is_empty(self) -> bool:
+        return not (self.subs or self.dels or self.inss)
+
+    def has_indels(self) -> bool:
+        return bool(self.dels or self.inss)
+
+    def has_subs(self) -> bool:
+        return bool(self.subs)
+
+    def copy(self) -> "Edit":
+        return Edit(list(self.subs), list(self.dels), list(self.inss))
+
+    def __eq__(self, other) -> bool:
+        return (
+            sorted(self.subs, key=lambda s: (s.pos, s.alt)) == sorted(other.subs, key=lambda s: (s.pos, s.alt))
+            and sorted(self.dels, key=lambda d: (d.pos, d.len)) == sorted(other.dels, key=lambda d: (d.pos, d.len))
+            and sorted(self.inss, key=lambda i: (i.pos, i.seq)) == sorted(other.inss, key=lambda i: (i.pos, i.seq))
+        )
+
+    # ------------------------------------------------------------- transforms
+    def reverse_complement(self, length: int) -> "Edit":
+        # edits.rs:257-283; results re-sorted by position
+        return Edit(
+            subs=sorted((s.reverse_complement(length) for s in self.subs), key=lambda s: s.pos),
+            dels=sorted((d.reverse_complement(length) for d in self.dels), key=lambda d: d.pos),
+            inss=sorted((i.reverse_complement(length) for i in self.inss), key=lambda i: i.pos),
+        )
+
+    def shift(self, delta: int) -> "Edit":
+        return Edit(
+            subs=[s.shift(delta) for s in self.subs],
+            dels=[d.shift(delta) for d in self.dels],
+            inss=[i.shift(delta) for i in self.inss],
+        )
+
+    def concat(self, nxt: "Edit") -> "Edit":
+        """Concatenate edit sets of two consecutive consensus segments
+        (edits.rs:286-305). Insertions at an identical position merge
+        self-first."""
+        inss = [Ins(i.pos, i.seq) for i in self.inss]
+        by_pos = {i.pos: k for k, i in enumerate(inss)}
+        for ins in nxt.inss:
+            if ins.pos in by_pos:
+                k = by_pos[ins.pos]
+                inss[k] = Ins(ins.pos, inss[k].seq + ins.seq)
+            else:
+                by_pos[ins.pos] = len(inss)
+                inss.append(ins)
+        return Edit(subs=self.subs + nxt.subs, dels=self.dels + nxt.dels, inss=inss)
+
+    # ------------------------------------------------------------- application
+    def apply(self, ref: np.ndarray) -> np.ndarray:
+        """Apply edits to the consensus to recover the genome sequence
+        (edits.rs:307-331)."""
+        ref = as_seq(ref)
+        qry = ref.copy()
+        if self.subs:
+            pos = np.fromiter((s.pos for s in self.subs), dtype=np.int64, count=len(self.subs))
+            alt = np.fromiter((ord(s.alt) for s in self.subs), dtype=np.uint8, count=len(self.subs))
+            qry[pos] = alt
+        keep = None
+        if self.dels:
+            keep = np.ones(len(qry), dtype=bool)
+            for d in self.dels:
+                keep[d.pos : d.pos + d.len] = False
+        if not self.inss:
+            return qry[keep] if keep is not None else qry
+        parts = []
+        prev = 0
+        for ins in sorted(self.inss, key=lambda i: (i.pos, i.seq)):
+            seg = qry[prev : ins.pos]
+            if keep is not None:
+                seg = seg[keep[prev : ins.pos]]
+            parts.append(seg)
+            parts.append(as_seq(ins.seq))
+            prev = ins.pos
+        seg = qry[prev:]
+        if keep is not None:
+            seg = seg[keep[prev:]]
+        parts.append(seg)
+        return np.concatenate(parts)
+
+    def apply_aligned(self, ref: np.ndarray) -> np.ndarray:
+        """Subs + deletions-as-gaps, no insertions (edits.rs:333-347)."""
+        qry = as_seq(ref).copy()
+        if self.subs:
+            pos = np.fromiter((s.pos for s in self.subs), dtype=np.int64, count=len(self.subs))
+            alt = np.fromiter((ord(s.alt) for s in self.subs), dtype=np.uint8, count=len(self.subs))
+            qry[pos] = alt
+        for d in self.dels:
+            qry[d.pos : d.pos + d.len] = GAP
+        return qry
+
+    # ----------------------------------------------------------------- queries
+    def is_empty_alignment(self, consensus: np.ndarray) -> bool:
+        # edits.rs:349-367
+        if sum(len(i.seq) for i in self.inss) > 0:
+            return False
+        if sum(d.len for d in self.dels) < len(consensus):
+            return False
+        return len(self.apply(consensus)) == 0
+
+    def aligned_count(self, cons_len: int) -> int:
+        # edits.rs:438-441: non-deleted consensus positions
+        return max(cons_len - sum(d.len for d in self.dels), 0)
+
+    def aligned_count_after(self, p: int, cons_len: int) -> int:
+        # edits.rs:418-436
+        total = max(cons_len - p, 0)
+        overlap = 0
+        for d in self.dels:
+            if d.end > p:
+                overlap += d.end - max(p, d.pos)
+        return max(total - overlap, 0)
+
+    def unaligned_length(self, cons_len: int) -> int:
+        # pangraph_block.rs:91-95
+        return cons_len + sum(len(i.seq) for i in self.inss) - sum(d.len for d in self.dels)
+
+    # ------------------------------------------------------------ band stats
+    def aln_mean_shift(self, cons_len: int):
+        """Mean displacement of query vs consensus positions (edits.rs:443-484).
+        Returns None if no consensus position is aligned."""
+        aligned = self.aligned_count_after(0, cons_len)
+        if aligned == 0:
+            return None
+        total = 0
+        for ins in self.inss:
+            total -= len(ins.seq) * self.aligned_count_after(ins.pos, cons_len)
+        for d in self.dels:
+            total += d.len * self.aligned_count_after(d.pos, cons_len)
+        # round-half-away-from-zero, matching Rust f64::round
+        x = total / aligned
+        return int(np.floor(x + 0.5)) if x >= 0 else int(np.ceil(x - 0.5))
+
+    def aln_bandwidth(self, cons_len: int, mean_shift: int):
+        """Max |displacement - mean_shift| over the alignment (edits.rs:486-536)."""
+        if self.aligned_count_after(0, cons_len) == 0:
+            return None
+        tuples = sorted(
+            [(i.pos, -len(i.seq)) for i in self.inss] + [(d.pos, d.len) for d in self.dels],
+            key=lambda t: t[0],
+        )
+        n = len(tuples)
+        max_bw = 0
+        band = 0
+        for k, (pos, delta) in enumerate(tuples):
+            if k == 0 and pos > 0:
+                max_bw = max(max_bw, abs(band - mean_shift))
+            band += delta
+            # trailing in/del does not widen the band (edits.rs:523-526)
+            if k == n - 1 and (pos == cons_len or (delta > 0 and pos + delta == cons_len)):
+                continue
+            max_bw = max(max_bw, abs(band - mean_shift))
+        return max_bw
+
+    # ------------------------------------------------------- consensus updates
+    def is_position_deleted(self, pos: int) -> bool:
+        return any(d.contains(pos) for d in self.dels)
+
+    def reconcile_substitution_with_consensus(self, sub: Sub, original: str) -> None:
+        """Adjust this edit when the consensus char at sub.pos changes to sub.alt
+        (edits.rs:186-243). `original` is the pre-change consensus char."""
+        at_pos = [s for s in self.subs if s.pos == sub.pos]
+        if len(at_pos) == 0:
+            if not self.is_position_deleted(sub.pos):
+                self.subs.append(Sub(sub.pos, original))
+                self.subs.sort(key=lambda s: s.pos)
+        elif len(at_pos) == 1:
+            if self.is_position_deleted(sub.pos):
+                raise ValueError(f"Position {sub.pos}: both substitution and deletion present")
+            if at_pos[0].alt == sub.alt:
+                self.subs = [s for s in self.subs if not (s.pos == sub.pos and s.alt == sub.alt)]
+        else:
+            raise ValueError(f"Position {sub.pos}: conflicting substitutions {at_pos}")
+
+    # ----------------------------------------------------------------- checks
+    def sanity_check(self, length: int) -> None:
+        # edits.rs:569+: bounds, no double subs, no sub-in-del, no zero/overlapping
+        # dels, ins bounds 0..=length
+        seen = set()
+        for s in self.subs:
+            if not (0 <= s.pos < length):
+                raise ValueError(f"Sub position {s.pos} out of bounds (len {length})")
+            if s.alt == "-":
+                raise ValueError("Substitution with '-' is not allowed")
+            if s.pos in seen:
+                raise ValueError(f"Two substitutions at position {s.pos}")
+            seen.add(s.pos)
+            if self.is_position_deleted(s.pos):
+                raise ValueError(f"Substitution at deleted position {s.pos}")
+        dels = sorted(self.dels, key=lambda d: d.pos)
+        for k, d in enumerate(dels):
+            if d.len == 0:
+                raise ValueError(f"Deletion {d} has length 0")
+            if not (0 <= d.pos < length) or d.end > length:
+                raise ValueError(f"Deletion {d} out of bounds (len {length})")
+            if k and dels[k - 1].end > d.pos:
+                raise ValueError(f"Overlapping deletions {dels[k-1]} and {d}")
+        for i in self.inss:
+            if not (0 <= i.pos <= length):
+                raise ValueError(f"Insertion {i} out of bounds (len {length})")
+            if len(i.seq) == 0:
+                raise ValueError(f"Insertion {i} is empty")
+
+    # -------------------------------------------------------------------- json
+    def to_json(self) -> dict:
+        return {
+            "subs": [{"pos": s.pos, "alt": s.alt} for s in self.subs],
+            "dels": [{"pos": d.pos, "len": d.len} for d in self.dels],
+            "inss": [{"pos": i.pos, "seq": i.seq} for i in self.inss],
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Edit":
+        return Edit(
+            subs=[Sub(s["pos"], s["alt"]) for s in d.get("subs", [])],
+            dels=[Del(x["pos"], x["len"]) for x in d.get("dels", [])],
+            inss=[Ins(i["pos"], i["seq"]) for i in d.get("inss", [])],
+        )
+
+
+def edit_from_cigar(cigar) -> Edit:
+    """Edit set from a CIGAR (edits.rs:538-567): M advances ref; I -> Ins of 'N's
+    at current ref pos; D -> Del. `cigar` is a list of (length, op) with op in
+    'MID=X'."""
+    rpos = 0
+    inss, dels = [], []
+    for length, op in cigar:
+        if op in ("M", "=", "X"):
+            rpos += length
+        elif op == "I":
+            inss.append(Ins(rpos, "N" * length))
+        elif op == "D":
+            dels.append(Del(rpos, length))
+            rpos += length
+        else:
+            raise ValueError(f"Unsupported CIGAR op {op!r}")
+    return Edit(subs=[], dels=dels, inss=inss)

@@ -1,0 +1,76 @@
+"""FASTA read/write with transparent decompression.
+
+Reference: io/fasta.rs (multi-file reader with per-file decompression and a
+global record index, io/fasta.rs:50-128; 80-column writer, io/fasta.rs:223-251).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from pangraph_tpu.graph.seq import as_seq, to_str, validate_alphabet
+from pangraph_tpu.io.files import create_maybe_compressed, open_maybe_compressed
+
+
+@dataclass
+class FastaRecord:
+    seq_name: str
+    desc: str  # or None
+    seq: np.ndarray  # uint8 ASCII
+    index: int
+
+
+def read_fasta(paths, validate: bool = True) -> list:
+    """Read one or many FASTA files into records with a global running index."""
+    if isinstance(paths, (str, bytes)) or not hasattr(paths, "__iter__"):
+        paths = [paths]
+    records = []
+    index = 0
+    for path in paths:
+        with open_maybe_compressed(path, "rt") as f:
+            name, desc, chunks = None, None, []
+            for line in f:
+                line = line.rstrip()
+                if line.startswith(">"):
+                    if name is not None:
+                        records.append(_finish(name, desc, chunks, index, validate))
+                        index += 1
+                    header = line[1:].strip()
+                    parts = header.split(None, 1)
+                    name = parts[0] if parts else ""
+                    desc = parts[1] if len(parts) > 1 else None
+                    chunks = []
+                elif line and name is not None:
+                    chunks.append(line)
+            if name is not None:
+                records.append(_finish(name, desc, chunks, index, validate))
+                index += 1
+    return records
+
+
+def _finish(name, desc, chunks, index, validate) -> FastaRecord:
+    seq = as_seq("".join(chunks).upper())
+    if validate:
+        validate_alphabet(seq, name)
+    return FastaRecord(seq_name=name, desc=desc, seq=seq, index=index)
+
+
+def write_fasta(path_or_file, records, width: int = 80) -> None:
+    """Write records, wrapping sequence lines at `width` columns (fasta.rs:223)."""
+    f = path_or_file
+    close = False
+    if isinstance(path_or_file, (str, bytes)) or hasattr(path_or_file, "__fspath__") or path_or_file is None:
+        f = create_maybe_compressed(path_or_file, "wt")
+        close = True
+    try:
+        for rec in records:
+            name, desc, seq = rec.seq_name, rec.desc, rec.seq
+            header = f">{name} {desc}" if desc else f">{name}"
+            f.write(header + "\n")
+            s = to_str(as_seq(seq))
+            for i in range(0, len(s), width):
+                f.write(s[i : i + width] + "\n")
+    finally:
+        if close and f is not None and f.name != "<stdout>":
+            f.close()

@@ -1,0 +1,24 @@
+"""Test harness config: force JAX onto a virtual 8-device CPU mesh so that
+sharding/collective tests run without TPU hardware (see SURVEY.md §4)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE_DATA = pathlib.Path("/root/reference/data")
+
+
+@pytest.fixture(scope="session")
+def test_graph_path():
+    return REFERENCE_DATA / "test_graph.json"
+
+
+@pytest.fixture(scope="session")
+def plasmids_fasta_path():
+    return REFERENCE_DATA / "russian_doll_plasmids.fa.gz"
