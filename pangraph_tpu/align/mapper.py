@@ -1,0 +1,240 @@
+"""All-vs-all consensus mapper: sketch -> index -> anchors -> chain -> extend.
+
+Replaces the reference's vendored minimap2 (L0/L1/L2 of SURVEY.md §1; driver
+align/minimap2_lib/align_with_minimap2_lib.rs). Design differences, TPU-first:
+
+- the index is a sorted minimizer array + searchsorted lookup (no hash table),
+- chains are cut at large diagonal jumps, so base-level alignment of a chain
+  span is a single banded stripe DP (the same K3 kernel used for re-alignment)
+  instead of per-anchor-pair ksw2 extension,
+- every chain-span alignment of one self-map round is batched into one device
+  call in the TPU path.
+
+Sensitivity presets map to minimap2's asm5/10/20 (options.c:116-130): k=19,
+w=19 (asm20: w=10), bw=1000, max_gap=10000; pangraph sets min chain score
+max(l-10, 5) (align_with_minimap2_lib.rs:49-57).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from pangraph_tpu.align.alignment import Alignment, Hit
+from pangraph_tpu.align.chain import ChainParams, chain_anchors, split_chain_at_jumps
+from pangraph_tpu.align.cigar import cigar_from_aligned_pair, collapse_cigar
+from pangraph_tpu.align.minimizer import Minimizers, sketch
+from pangraph_tpu.align.params import BandedAlignParams
+from pangraph_tpu.align.stripe import align_banded
+from pangraph_tpu.graph.seq import GAP, as_seq, revcomp
+
+U64 = np.uint64
+
+
+@dataclass
+class MapperParams:
+    k: int = 19
+    w: int = 19
+    max_gap: int = 10_000
+    bw: int = 1_000
+    min_chain_score: int = 90  # max(indel_len_threshold - 10, 5)
+    min_anchors: int = 3
+    mid_occ_frac: float = 2e-4
+    max_occ_floor: int = 10
+    extend_flank: int = 0  # extra bases beyond anchor span
+    band_extra: int = 16  # band margin around anchor diagonal spread
+    diag_break: int = 5_000  # cut chains at diagonal jumps >= this
+
+    @staticmethod
+    def from_sensitivity(sensitivity: int, indel_len_threshold: int, kmer_length=None) -> "MapperParams":
+        p = MapperParams()
+        if sensitivity == 20:
+            p.w = 10
+        elif sensitivity not in (5, 10):
+            raise ValueError(f"Unknown sensitivity preset: {sensitivity}")
+        if kmer_length:
+            p.k = kmer_length
+        p.min_chain_score = max(indel_len_threshold - 10, 5)
+        return p
+
+
+@dataclass
+class MinimizerIndex:
+    """Sorted minimizer array over a set of named sequences."""
+
+    values: np.ndarray  # sorted uint64
+    seq_ids: np.ndarray  # int32 index into names
+    positions: np.ndarray  # int64 k-mer start
+    strands: np.ndarray  # uint8
+    names: list
+    lengths: np.ndarray
+    max_occ: int
+
+
+def build_index(seqs: list, names: list, p: MapperParams) -> MinimizerIndex:
+    vals, sids, poss, strs = [], [], [], []
+    lengths = np.zeros(len(seqs), dtype=np.int64)
+    for i, s in enumerate(seqs):
+        s = as_seq(s)
+        lengths[i] = len(s)
+        mm: Minimizers = sketch(s, p.k, p.w)
+        vals.append(mm.values)
+        sids.append(np.full(len(mm.values), i, dtype=np.int32))
+        poss.append(mm.positions)
+        strs.append(mm.strands)
+    values = np.concatenate(vals) if vals else np.zeros(0, dtype=U64)
+    seq_ids = np.concatenate(sids) if sids else np.zeros(0, dtype=np.int32)
+    positions = np.concatenate(poss) if poss else np.zeros(0, dtype=np.int64)
+    strands = np.concatenate(strs) if strs else np.zeros(0, dtype=np.uint8)
+    order = np.argsort(values, kind="stable")
+    values, seq_ids, positions, strands = values[order], seq_ids[order], positions[order], strands[order]
+    # occurrence cutoff (mid_occ): drop the most frequent minimizers
+    if len(values):
+        _, counts = np.unique(values, return_counts=True)
+        if len(counts):
+            cut = np.quantile(counts, 1.0 - p.mid_occ_frac)
+            max_occ = max(int(cut), p.max_occ_floor)
+        else:
+            max_occ = p.max_occ_floor
+    else:
+        max_occ = p.max_occ_floor
+    return MinimizerIndex(values, seq_ids, positions, strands, list(names), lengths, max_occ)
+
+
+def collect_anchors(index: MinimizerIndex, qmm: Minimizers, qid: int):
+    """Match query minimizers against the index -> anchor arrays
+    (rid, rpos, qpos, rel_strand)."""
+    if len(qmm.values) == 0 or len(index.values) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z.astype(np.int32), z, z, z.astype(np.uint8)
+    lo = np.searchsorted(index.values, qmm.values, side="left")
+    hi = np.searchsorted(index.values, qmm.values, side="right")
+    occ = hi - lo
+    keep = (occ > 0) & (occ <= index.max_occ)
+    lo, hi = lo[keep], hi[keep]
+    q_pos = qmm.positions[keep]
+    q_str = qmm.strands[keep]
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z.astype(np.int32), z, z, z.astype(np.uint8)
+    # expand ranges: flat index into the sorted index arrays
+    rep = np.repeat(np.arange(len(lo)), counts)
+    offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    flat = lo[rep] + offs
+    rid = index.seq_ids[flat]
+    rpos = index.positions[flat]
+    rstr = index.strands[flat]
+    qpos = q_pos[rep]
+    qstr = q_str[rep]
+    rel = (rstr != qstr).astype(np.uint8)  # 1 = reverse-strand match
+    return rid, rpos, qpos, rel
+
+
+def _chain_to_alignment(
+    ref_seq, qry_seq, rid_name, qid_name, rlen, qlen, cr, cq, rel, p: MapperParams, band_params: BandedAlignParams
+):
+    """Banded base-level alignment over one chain span -> Alignment record."""
+    k = p.k
+    rs, re_ = int(cr[0]), int(cr[-1]) + k
+    qs, qe = int(cq[0]), int(cq[-1]) + k
+    rs = max(rs - p.extend_flank, 0)
+    qs = max(qs - p.extend_flank, 0)
+    re_ = min(re_ + p.extend_flank, rlen)
+    qe = min(qe + p.extend_flank, qlen)
+
+    ref_seg = ref_seq[rs:re_]
+    if rel:
+        qry_fwd_start = qlen - qe
+        qry_fwd_end = qlen - qs
+        qry_seg = revcomp(qry_seq)[qs:qe]
+    else:
+        qry_fwd_start, qry_fwd_end = qs, qe
+        qry_seg = qry_seq[qs:qe]
+
+    # diagonal band around the chain in segment coordinates (r - q convention)
+    diag = (cr - rs) - (cq - qs)
+    ms = int(np.round(np.mean(diag)))
+    bw = int(max(np.max(np.abs(diag - ms)), 1)) + p.band_extra
+    aln = align_banded(ref_seg, qry_seg, ms, bw, band_params)
+    if aln.hit_boundary:
+        aln = align_banded(ref_seg, qry_seg, ms, 2 * bw + 16, band_params)
+
+    cigar = collapse_cigar(cigar_from_aligned_pair(aln.ref_aln, aln.qry_aln))
+    # alignment statistics
+    both = (aln.ref_aln != GAP) & (aln.qry_aln != GAP)
+    mlen = int(np.count_nonzero(both & (aln.ref_aln == aln.qry_aln)))
+    blen = len(aln.ref_aln)
+    mism = int(np.count_nonzero(both)) - mlen
+    gap_opens = sum(1 for _, op in cigar if op in ("I", "D"))
+    denom = mlen + mism + gap_opens
+    divergence = (mism + gap_opens) / denom if denom else 1.0
+
+    return Alignment(
+        qry=Hit.new(qid_name, qlen, (qry_fwd_start, qry_fwd_end)),
+        reff=Hit.new(rid_name, rlen, (rs, re_)),
+        matches=mlen,
+        length=blen,
+        quality=60,
+        orientation="-" if rel else "+",
+        cigar=cigar,
+        divergence=divergence,
+        align_score=float(aln.score),
+    )
+
+
+def map_all_vs_all(seqs_by_name: dict, p: MapperParams, band_params: BandedAlignParams = None) -> list:
+    """Map every sequence against every other (minimap2 -X semantics: skip
+    self-mapping and dual pairs — each unordered pair is reported once).
+    Returns Alignment records with block names as Hit names."""
+    band_params = band_params or BandedAlignParams()
+    names = sorted(seqs_by_name)
+    seqs = [as_seq(seqs_by_name[n]) for n in names]
+    index = build_index(seqs, names, p)
+    chain_p = ChainParams(
+        k=p.k, max_gap=p.max_gap, bw=p.bw, min_score=p.min_chain_score, min_anchors=p.min_anchors
+    )
+    out = []
+    for qi, qname in enumerate(names):
+        qseq = seqs[qi]
+        qmm = sketch(qseq, p.k, p.w)
+        rid, rpos, qpos, rel = collect_anchors(index, qmm, qi)
+        # -X: drop self hits and dual pairs (keep rid < qi only)
+        keep = rid < qi
+        rid, rpos, qpos, rel = rid[keep], rpos[keep], qpos[keep], rel[keep]
+        if len(rid) == 0:
+            continue
+        qlen = len(qseq)
+        # reverse matches: chain in revcomp-query coordinates
+        q_eff = np.where(rel == 1, qlen - qpos - p.k, qpos)
+        # chain per (target, strand) group
+        group = rid.astype(np.int64) * 2 + rel
+        for g in np.unique(group):
+            sel = group == g
+            ri = int(g // 2)
+            strand_rel = int(g % 2)
+            chains, _scores = chain_anchors(rpos[sel], q_eff[sel], chain_p)
+            r_sel = rpos[sel]
+            q_sel = q_eff[sel]
+            for chain in chains:
+                cr_full = r_sel[chain]
+                cq_full = q_sel[chain]
+                for s, e in split_chain_at_jumps(cr_full, cq_full, p.diag_break, p.max_gap):
+                    if e - s < p.min_anchors:
+                        continue
+                    aln = _chain_to_alignment(
+                        seqs[ri],
+                        qseq,
+                        names[ri],
+                        qname,
+                        int(index.lengths[ri]),
+                        qlen,
+                        cr_full[s:e],
+                        cq_full[s:e],
+                        strand_rel,
+                        p,
+                        band_params,
+                    )
+                    out.append(aln)
+    return out

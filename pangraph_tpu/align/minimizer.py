@@ -1,0 +1,155 @@
+"""Minimizer sketching, vectorized.
+
+One kernel, two parameterizations (SURVEY.md §7 K1):
+- mash distance for the guide tree: (w=100, k=15), reference
+  distance/mash/minimizer.rs:49-130 with Jenkins invertible hash (hash.rs:3)
+- mapping sketch for the all-vs-all consensus mapper: (w=19, k=19), the
+  reference vendors minimap2's sketch (minimap2-sys/minimap2/sketch.c)
+
+Design: k-mer codes are built by k strided shift-ors (O(kL) vector work, no
+scalar loop), canonical strand selection compares forward/reverse codes, and
+the windowed minimum is an offset-doubling (log w) min-with-argmin reduction —
+the same data-parallel shape used by the Pallas version.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from pangraph_tpu.graph.seq import TWOBIT, as_seq
+
+U64 = np.uint64
+
+
+def jenkins_hash(x: np.ndarray, mask: int) -> np.ndarray:
+    """Invertible 64-bit mix under a 2k-bit mask (distance/mash/hash.rs:3-12)."""
+    m = U64(mask)
+    x = x.astype(U64)
+    x = (~x + (x << U64(21))) & m
+    x = x ^ (x >> U64(24))
+    x = (x + (x << U64(3)) + (x << U64(8))) & m
+    x = x ^ (x >> U64(14))
+    x = (x + (x << U64(2)) + (x << U64(4))) & m
+    x = x ^ (x >> U64(28))
+    x = (x + (x << U64(31))) & m
+    return x
+
+
+def kmer_codes(seq: np.ndarray, k: int):
+    """(fwd_codes, rev_codes, valid) for every k-mer start position."""
+    b = TWOBIT[as_seq(seq)]
+    L = len(b)
+    n = L - k + 1
+    if n <= 0:
+        return (np.zeros(0, dtype=U64),) * 2 + (np.zeros(0, dtype=bool),)
+    valid = b < 4
+    cs = np.concatenate(([0], np.cumsum(valid)))
+    win_valid = (cs[k:] - cs[:-k]) == k
+    bb = np.where(valid, b, 0).astype(U64)
+    fwd = np.zeros(n, dtype=U64)
+    rev = np.zeros(n, dtype=U64)
+    for j in range(k):
+        fwd |= bb[j : n + j] << U64(2 * (k - 1 - j))
+        rev |= (U64(3) ^ bb[j : n + j]) << U64(2 * j)
+    return fwd, rev, win_valid
+
+
+def sliding_argmin(values: np.ndarray, w: int):
+    """Windowed (min, argmin) via offset doubling: O(n log w) vector ops.
+    Ties resolve to the leftmost position. Returns arrays of length n-w+1."""
+    n = len(values)
+    if n < w:
+        return np.zeros(0, dtype=values.dtype), np.zeros(0, dtype=np.int64)
+    val = values.copy()
+    pos = np.arange(n, dtype=np.int64)
+    span = 1
+    while span < w:
+        step = min(span, w - span)
+        nv = val[step:]
+        take = nv < val[: n - step]
+        val[: n - step] = np.where(take, nv, val[: n - step])
+        pos[: n - step] = np.where(take, pos[step:], pos[: n - step])
+        span += step
+    return val[: n - w + 1], pos[: n - w + 1]
+
+
+@dataclass
+class Minimizers:
+    """Sketch of one sequence: hash values, positions, strands."""
+
+    values: np.ndarray  # uint64 hash values
+    positions: np.ndarray  # int64 k-mer start positions
+    strands: np.ndarray  # uint8: 0 fwd, 1 rev
+
+
+def sketch(seq: np.ndarray, k: int, w: int) -> Minimizers:
+    """(w,k)-minimizer sketch with canonical strand and invalid-base masking."""
+    fwd, rev, valid = kmer_codes(seq, k)
+    n = len(fwd)
+    if n == 0 or n < w:
+        return Minimizers(np.zeros(0, dtype=U64), np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint8))
+    mask = (1 << (2 * k)) - 1
+    is_rev = rev < fwd
+    ambiguous = fwd == rev  # palindromic k-mer: strand undefined, skip
+    canon = np.where(is_rev, rev, fwd)
+    hashes = jenkins_hash(canon, mask)
+    sentinel = np.iinfo(np.uint64).max
+    hashes = np.where(valid & ~ambiguous, hashes, U64(sentinel))
+    vals, pos = sliding_argmin(hashes, w)
+    keep = vals != U64(sentinel)
+    # dedupe: identical minimizer chosen by adjacent windows
+    first = np.concatenate(([True], np.diff(pos) != 0))
+    keep &= first
+    pos = pos[keep]
+    return Minimizers(values=vals[keep], positions=pos, strands=is_rev[pos].astype(np.uint8))
+
+
+def mash_distance(seqs: list, k: int = 15, w: int = 100) -> np.ndarray:
+    """Pairwise minimizer set distance, normalized by self-hits
+    (distance/mash/mash_distance.rs:9-64)."""
+    n = len(seqs)
+    if n == 0:
+        return np.zeros((0, 0))
+    all_vals = []
+    all_ids = []
+    for i, s in enumerate(seqs):
+        mm = sketch(as_seq(s), k, w)
+        if len(mm.values) == 0:
+            raise ValueError(f"no minimizers found for sequence {i} during mash distance")
+        all_vals.append(mm.values)
+        all_ids.append(np.full(len(mm.values), i, dtype=np.int64))
+    vals = np.concatenate(all_vals)
+    ids = np.concatenate(all_ids)
+    # distinct (value, id) pairs, grouped by value
+    order = np.lexsort((ids, vals))
+    vals, ids = vals[order], ids[order]
+    keep = np.concatenate(([True], (np.diff(vals) != 0) | (np.diff(ids) != 0)))
+    vals, ids = vals[keep], ids[keep]
+
+    dist = np.zeros((n, n))
+    # self-hits: number of distinct values per sequence
+    np.add.at(dist, (np.arange(n), np.arange(n)), np.bincount(ids, minlength=n).astype(float))
+    # cross-hits per equal-value group: count id co-occurrence
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(vals) != 0) + 1))
+    sizes = np.diff(np.concatenate((starts, [len(vals)])))
+    # size-2 groups vectorized (the dominant multi-sequence case)
+    s2 = starts[sizes == 2]
+    if len(s2):
+        a, b = ids[s2], ids[s2 + 1]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        np.add.at(dist, (lo, hi), 1.0)
+    # larger groups: rare; python loop
+    for s, size in zip(starts[sizes > 2], sizes[sizes > 2]):
+        hit_ids = np.sort(ids[s : s + size])
+        for x in range(size):
+            for y in range(x + 1, size):
+                dist[hit_ids[x], hit_ids[y]] += 1.0
+    dist = np.triu(dist) + np.triu(dist, 1).T
+    for i in range(n):
+        assert dist[i, i] > 0, f"no self-hit for sequence {i}"
+    out = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i + 1, n):
+            out[i, j] = out[j, i] = 1.0 - dist[i, j] / dist[i, i]
+    return out

@@ -1,0 +1,93 @@
+"""The `build` pipeline: FASTAs -> singleton graphs -> guide tree -> postorder
+merge -> pangenome graph.
+
+Reference: commands/build/build_run.rs:66-185.
+"""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from pangraph_tpu.align.mapper import MapperParams, map_all_vs_all
+from pangraph_tpu.align.params import BuildArgs
+from pangraph_tpu.build.merge import merge_graphs
+from pangraph_tpu.build.tree import balance_tree, build_guide_tree, guide_tree_from_newick
+from pangraph_tpu.graph.graph import Pangraph, reconstruct
+from pangraph_tpu.graph.seq import to_str
+
+log = logging.getLogger(__name__)
+
+
+def make_find_matches(args: BuildArgs, aligner=None):
+    """The find_matches callable for self_merge (graph_merging.rs:176-185).
+    Maps all block consensuses against each other."""
+    mp = MapperParams.from_sensitivity(
+        args.aln_args.sensitivity, args.aln_args.indel_len_threshold, args.aln_args.kmer_length
+    )
+
+    def find_matches(blocks: dict, aln_args):
+        seqs = {bid: b.consensus for bid, b in blocks.items()}
+        return map_all_vs_all(seqs, mp, args.banded_params)
+
+    return find_matches
+
+
+def build(records, args: BuildArgs, aligner=None) -> Pangraph:
+    """records: list of FastaRecord. Returns the merged pangenome graph."""
+    names = [r.seq_name for r in records]
+    if len(set(names)) != len(names):
+        raise ValueError("Duplicate sequence names in input")
+
+    graphs = {r.index: Pangraph.singleton(r.seq_name, r.seq, r.index, args.circular, desc=r.desc) for r in records}
+
+    if args.guide_tree:
+        with open(args.guide_tree) as f:
+            tree = guide_tree_from_newick(f.read(), names)
+    else:
+        tree = build_guide_tree(names, [r.seq for r in records])
+        tree = balance_tree(tree)
+    log.info("guide tree: %s", tree.to_newick())
+
+    find_matches = make_find_matches(args, aligner)
+
+    if tree.is_leaf():
+        return graphs[tree.data]
+
+    n_merges = sum(1 for c in tree.postorder() if not c.is_leaf())
+    done = 0
+    for clade in tree.postorder():
+        if clade.is_leaf():
+            clade.data = graphs[clade.data]
+            continue
+        left, right = clade.left.data, clade.right.data
+        log.info("merging graphs (%d + %d paths)", len(left.paths), len(right.paths))
+        clade.data = merge_graphs(left, right, args, find_matches, aligner)
+        clade.left.data = clade.right.data = None  # free child graphs
+        done += 1
+        log.info("merge %d/%d complete -> %d blocks", done, n_merges, len(clade.data.blocks))
+
+    graph = tree.data
+    if args.verify:
+        verify_roundtrip(graph, records)
+    return graph
+
+
+def verify_roundtrip(graph: Pangraph, records) -> None:
+    """The lossless-roundtrip oracle (build_run.rs:37-64): reconstructed
+    sequences must equal the input byte-for-byte."""
+    by_name = {r.seq_name: r.seq for r in records}
+    count = 0
+    for name, desc, seq in reconstruct(graph):
+        expected = by_name[name]
+        if len(seq) != len(expected) or not np.array_equal(seq, expected):
+            raise AssertionError(f"Roundtrip mismatch for {name}: got {len(seq)} bp, expected {len(expected)} bp")
+        count += 1
+    if count != len(records):
+        raise AssertionError(f"Reconstructed {count} sequences, expected {len(records)}")
+
+
+def build_from_fasta(paths, args: BuildArgs) -> Pangraph:
+    from pangraph_tpu.io.fasta import read_fasta
+
+    return build(read_fasta(paths), args)

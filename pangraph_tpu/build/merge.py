@@ -1,0 +1,91 @@
+"""Pairwise graph merging: join, iterated self-merge, transitive-edge removal.
+
+Reference: pangraph/graph_merging.rs. The per-iteration pipeline is:
+find matches between block consensuses -> drop self-hits -> split at long
+indels -> energy filter + greedy non-overlap acceptance -> reweave -> resolve
+merge promises (the batched alignment workload) -> detach unaligned nodes ->
+reconsensus.
+"""
+from __future__ import annotations
+
+import logging
+
+from pangraph_tpu.align.alignment import Alignment, alignment_energy
+from pangraph_tpu.build.circularize import remove_transitive_edges
+from pangraph_tpu.build.reconsensus import detach_unaligned_nodes, reconsensus_graph
+from pangraph_tpu.build.reweave import reweave
+from pangraph_tpu.build.split_matches import split_matches
+from pangraph_tpu.graph.graph import Pangraph, graph_join
+from pangraph_tpu.utils.intervals import have_no_overlap
+
+log = logging.getLogger(__name__)
+
+
+def filter_matches(alns: list, args) -> list:
+    """Energy filter (E < 0), sort ascending, greedy non-overlap acceptance
+    (graph_merging.rs:187-216)."""
+    scored = [(alignment_energy(a, args), i, a) for i, a in enumerate(alns)]
+    scored = [(e, i, a) for e, i, a in scored if e < 0.0]
+    scored.sort(key=lambda t: (t[0], t[1]))
+
+    accepted = []
+    intervals = {}
+    for _, _, aln in scored:
+        assert aln.qry.name != aln.reff.name
+        if have_no_overlap(intervals.get(aln.reff.name, []), aln.reff.interval) and have_no_overlap(
+            intervals.get(aln.qry.name, []), aln.qry.interval
+        ):
+            accepted.append(aln)
+            intervals.setdefault(aln.reff.name, []).append(aln.reff.interval)
+            intervals.setdefault(aln.qry.name, []).append(aln.qry.interval)
+    return accepted
+
+
+def self_merge(graph: Pangraph, args, find_matches, aligner=None):
+    """One merge iteration (graph_merging.rs:97-174). Returns (graph, changed)."""
+    matches = find_matches(graph.blocks, args.aln_args)
+    log.debug("found %d matches", len(matches))
+
+    split = []
+    for m in matches:
+        if m.qry.name == m.reff.name:
+            continue
+        split.extend(split_matches(m, args.aln_args.indel_len_threshold))
+    log.debug("matches after splitting: %d", len(split))
+
+    accepted = filter_matches(split, args.aln_args)
+    log.debug("matches after filtering: %d", len(accepted))
+    if not accepted:
+        return graph, False
+
+    graph, promises = reweave(accepted, graph, args.aln_args.indel_len_threshold)
+
+    merged_blocks = [p.solve(args, aligner) for p in promises]
+
+    detach_unaligned_nodes(merged_blocks, graph.nodes)
+    for block in merged_blocks:
+        assert block.id not in graph.blocks, f"conflicting block id {block.id}"
+        graph.blocks[block.id] = block
+
+    merge_ids = [b.id for b in merged_blocks]
+    reconsensus_graph(graph, merge_ids, args, aligner)
+    return graph, True
+
+
+def merge_graphs(left: Pangraph, right: Pangraph, args, find_matches, aligner=None) -> Pangraph:
+    """Merge two graphs: join then self-merge to fixpoint
+    (graph_merging.rs:26-72)."""
+    graph = graph_join(left, right)
+    i = 0
+    while True:
+        graph, changed = self_merge(graph, args, find_matches, aligner)
+        if not changed:
+            break
+        if i >= args.max_self_map:
+            log.warning("reached max self-merge iterations (%d)", args.max_self_map)
+            break
+        i += 1
+    remove_transitive_edges(graph)
+    if __debug__:
+        graph.sanity_check()
+    return graph
