@@ -41,6 +41,33 @@ def filter_matches(alns: list, args) -> list:
     return accepted
 
 
+def solve_promises(promises: list, args, aligner=None) -> list:
+    """Resolve all merge promises, batching every re-alignment job of the
+    round into one aligner call (the reference parallelizes with rayon,
+    graph_merging.rs:144-151; here the batch is the device-level axis)."""
+    if aligner is None or not hasattr(aligner, "align_many"):
+        return [p.solve(args, aligner) for p in promises]
+
+    from pangraph_tpu.ops.batch_align import AlignJob
+
+    all_jobs = []
+    owners = []
+    presolved_list = []
+    job_lists = []
+    for pi, p in enumerate(promises):
+        jobs, presolved = p.collect_jobs()
+        presolved_list.append(presolved)
+        job_lists.append(jobs)
+        for node_id, seq, band in jobs:
+            all_jobs.append(AlignJob(p.anchor_block.consensus, seq, band))
+            owners.append((pi, node_id))
+    edits = aligner.align_many(all_jobs) if all_jobs else []
+    results = [dict(pre) for pre in presolved_list]
+    for (pi, node_id), e in zip(owners, edits):
+        results[pi][node_id] = e
+    return [p.finish(results[pi]) for pi, p in enumerate(promises)]
+
+
 def self_merge(graph: Pangraph, args, find_matches, aligner=None):
     """One merge iteration (graph_merging.rs:97-174). Returns (graph, changed)."""
     matches = find_matches(graph.blocks, args.aln_args)
@@ -60,7 +87,7 @@ def self_merge(graph: Pangraph, args, find_matches, aligner=None):
 
     graph, promises = reweave(accepted, graph, args.aln_args.indel_len_threshold)
 
-    merged_blocks = [p.solve(args, aligner) for p in promises]
+    merged_blocks = solve_promises(promises, args, aligner)
 
     detach_unaligned_nodes(merged_blocks, graph.nodes)
     for block in merged_blocks:

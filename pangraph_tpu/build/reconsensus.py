@@ -84,13 +84,44 @@ def reconsensus_graph(graph: Pangraph, block_ids: list, args, aligner=None) -> N
             block.change_consensus_nucleotide_at_pos(sub)
 
     if need_realignment:
-        realigned = []
-        for bid, maj in need_realignment:
-            block = graph.blocks.pop(bid)
-            realigned.append(edit_consensus_and_realign(block, maj, args, aligner))
+        if aligner is not None and hasattr(aligner, "align_many"):
+            realigned = _realign_blocks_batched(graph, need_realignment, aligner)
+        else:
+            realigned = []
+            for bid, maj in need_realignment:
+                block = graph.blocks.pop(bid)
+                realigned.append(edit_consensus_and_realign(block, maj, args, aligner))
         detach_unaligned_nodes(realigned, graph.nodes)
         for block in realigned:
             graph.blocks[block.id] = block
+
+
+def _realign_blocks_batched(graph: Pangraph, need_realignment: list, aligner) -> list:
+    """Batch every realignment job across all blocks into one aligner call."""
+    from pangraph_tpu.ops.batch_align import AlignJob
+
+    prepared = []  # (block_id, new_consensus, [(nid, seq, band)])
+    all_jobs = []
+    owners = []
+    for bi, (bid, maj) in enumerate(need_realignment):
+        block = graph.blocks.pop(bid)
+        new_consensus = maj.apply(block.consensus)
+        assert len(new_consensus) > 0, "Consensus cannot be empty"
+        band = BandParameters.from_edits(maj, block.consensus_len())
+        jobs = []
+        for nid, e in block.alignments.items():
+            seq = e.apply(block.consensus)
+            old_band = BandParameters.from_edits(e, block.consensus_len())
+            upd = BandParameters(old_band.mean_shift - band.mean_shift, old_band.band_width + band.band_width)
+            jobs.append((nid, seq, upd))
+            all_jobs.append(AlignJob(new_consensus, seq, upd))
+            owners.append((bi, nid))
+        prepared.append((bid, new_consensus, jobs))
+    edits_list = aligner.align_many(all_jobs) if all_jobs else []
+    per_block = [dict() for _ in prepared]
+    for (bi, nid), e in zip(owners, edits_list):
+        per_block[bi][nid] = e
+    return [Block(bid, cons, per_block[bi]) for bi, (bid, cons, _) in enumerate(prepared)]
 
 
 def edit_consensus_and_realign(block: Block, edits: Edit, args, aligner=None) -> Block:

@@ -248,30 +248,43 @@ class MergePromise:
     orientation: str
     cigar: list
 
-    def solve(self, args, aligner=None) -> Block:
-        """Sequential resolution (reweave.rs:41-96). `aligner` is a callable
-        (anchor_consensus, seqs, band_params_list) -> [Edit]; defaults to the
-        host stripe aligner; the TPU batch path substitutes its own."""
-        from pangraph_tpu.align.map_variations import map_variations
-
+    def collect_jobs(self):
+        """(jobs, presolved): jobs = [(node_id, seq, band)] needing alignment
+        against the anchor consensus; presolved = {node_id: Edit} for empty
+        sequences (reweave.rs:41-74)."""
         anchor_len = self.anchor_block.consensus_len()
         append_len = self.append_block.consensus_len()
         cigar_edits = edit_from_cigar(self.cigar)
         cigar_band = BandParameters.from_edits(cigar_edits, anchor_len)
 
-        jobs = []  # (node_id, seq, band) for sequences needing alignment
-        results = {}
+        jobs = []
+        presolved = {}
         for node_id, edits in self.append_block.alignments.items():
             seq = edits.apply(self.append_block.consensus)
             if len(seq) == 0:
-                results[node_id] = Edit.deleted(anchor_len)
+                presolved[node_id] = Edit.deleted(anchor_len)
                 continue
             if self.orientation != FWD:
                 seq = revcomp(seq)
                 edits = edits.reverse_complement(append_len)
             band = BandParameters.from_edits(edits, append_len).add(cigar_band)
             jobs.append((node_id, seq, band))
+        return jobs, presolved
 
+    def finish(self, results: dict) -> Block:
+        """Install resolved edits into the anchor block (reweave.rs:88-94)."""
+        anchor_len = self.anchor_block.consensus_len()
+        for node_id, e in results.items():
+            e.sanity_check(anchor_len)
+            self.anchor_block.alignments[node_id] = e
+        return self.anchor_block
+
+    def solve(self, args, aligner=None) -> Block:
+        """Single-promise resolution (reweave.rs:41-96); production batches
+        across promises via build.merge.solve_promises."""
+        from pangraph_tpu.align.map_variations import map_variations
+
+        jobs, results = self.collect_jobs()
         if jobs:
             if aligner is not None:
                 edits_list = aligner(self.anchor_block.consensus, [s for _, s, _ in jobs], [b for _, _, b in jobs])
@@ -283,12 +296,8 @@ class MergePromise:
                     for _, seq, band in jobs
                 ]
             for (node_id, _, _), e in zip(jobs, edits_list):
-                e.sanity_check(anchor_len)
                 results[node_id] = e
-
-        for node_id, e in results.items():
-            self.anchor_block.alignments[node_id] = e
-        return self.anchor_block
+        return self.finish(results)
 
 
 def assign_new_block_ids(mergers: list) -> None:

@@ -1,0 +1,214 @@
+"""Batched banded alignment driver: buckets jobs, runs the TPU stripe kernel,
+backtraces on host, retries boundary hits with doubled bands.
+
+This is the production replacement for per-sequence `map_variations`: all
+re-alignment jobs of a merge round (across every merge promise and
+reconsensus realignment — reweave.rs:52 par_iter and pangraph_block.rs:295)
+become one batch here.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import numpy as np
+
+from pangraph_tpu.align.params import BandedAlignParams, BandParameters
+from pangraph_tpu.graph.edits import Del, Edit, Ins, Sub
+from pangraph_tpu.graph.seq import IUPAC_MASK, as_seq
+
+log = logging.getLogger(__name__)
+
+MATCH = 1
+REF_GAP_MATRIX = 2
+QRY_GAP_MATRIX = 4
+REF_GAP_EXTEND = 8
+QRY_GAP_EXTEND = 16
+BOUNDARY = 32
+
+# memory budget for one kernel call's traceback buffer (bytes)
+PATHS_BYTES_BUDGET = 256 * 1024 * 1024
+
+
+@dataclass
+class AlignJob:
+    ref: np.ndarray  # uint8 sequence
+    qry: np.ndarray
+    band: BandParameters
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _bucket_rpad(rlen: int) -> int:
+    """Length ladder: x1.5 steps to bound padding waste and compilations."""
+    size = 256
+    while size < rlen + 1:
+        size = _round_up(int(size * 1.5), 256)
+    return size
+
+
+def _bucket_b(W: int) -> int:
+    return max(_round_up(2 * W + 2, 128), 128)
+
+
+def band_lo_host(i, ms, W, qlen, B):
+    return int(np.clip(i - ms - W, 0, max(qlen + 1 - B, 0)))
+
+
+def backtrace_band(paths: np.ndarray, ref: np.ndarray, qry: np.ndarray, ms: int, W: int, B: int):
+    """Walk traceback bits in band coordinates, emitting an Edit directly.
+
+    Returns (edit, hit_boundary). paths rows are DP rows 1..R (row 0 implicit).
+    """
+    rlen, qlen = len(ref), len(qry)
+    i, q = rlen, qlen
+    subs, dels, inss = [], [], []
+    del_run = 0  # current deletion run length (ends at ref pos i + del_run)
+    ins_run = []  # current insertion chars (reversed)
+    hit_boundary = False
+    state = 0
+    while i > 0:
+        lo = band_lo_host(i, ms, W, qlen, B)
+        k = q - lo
+        if k < 0 or k >= B:
+            return None, True  # fell out of band: force retry
+        bits = int(paths[i - 1, k])
+        if bits == 0:
+            return None, True
+        if bits & BOUNDARY:
+            hit_boundary = True
+        if (bits & MATCH) and state == 0:
+            if ins_run:
+                inss.append(Ins(i, bytes(ins_run[::-1]).decode()))
+                ins_run = []
+            if del_run:
+                dels.append(Del(i, del_run))
+                del_run = 0
+            i -= 1
+            q -= 1
+            if ref[i] != qry[q]:
+                subs.append(Sub(i, chr(int(qry[q]))))
+        elif ((bits & REF_GAP_MATRIX) and state == 0) or state == REF_GAP_MATRIX:
+            # insertion in query (ref gap)
+            if del_run:
+                dels.append(Del(i, del_run))
+                del_run = 0
+            q -= 1
+            ins_run.append(int(qry[q]))
+            state = REF_GAP_MATRIX if bits & REF_GAP_EXTEND else 0
+        elif ((bits & QRY_GAP_MATRIX) and state == 0) or state == QRY_GAP_MATRIX:
+            # deletion in query (qry gap)
+            if ins_run:
+                inss.append(Ins(i, bytes(ins_run[::-1]).decode()))
+                ins_run = []
+            i -= 1
+            del_run += 1
+            state = QRY_GAP_MATRIX if bits & QRY_GAP_EXTEND else 0
+        else:
+            return None, True
+    if q > 0:
+        # row 0 reached with query remaining: leading insertion
+        lead = bytes(qry[:q]).decode()
+        if ins_run:
+            lead = lead + bytes(ins_run[::-1]).decode()
+        inss.append(Ins(0, lead))
+    elif ins_run:
+        inss.append(Ins(0, bytes(ins_run[::-1]).decode()))
+    if del_run:
+        dels.append(Del(0, del_run))
+    subs.reverse()
+    dels.reverse()
+    inss.reverse()
+    return Edit(subs=subs, dels=dels, inss=inss), hit_boundary
+
+
+class TpuBatchAligner:
+    """Batched aligner backed by the JAX stripe kernel."""
+
+    def __init__(self, params: BandedAlignParams = None, extra_band_width: int = 5, max_attempts: int = 4):
+        self.params = params or BandedAlignParams()
+        self.extra = extra_band_width
+        self.max_attempts = max_attempts
+
+    def align_many(self, jobs: list) -> list:
+        """jobs: list of AlignJob (or (ref, qry, band) tuples). Returns Edits
+        in job order."""
+        jobs = [j if isinstance(j, AlignJob) else AlignJob(*j) for j in jobs]
+        n = len(jobs)
+        results = [None] * n
+        # working band width per job
+        widths = [j.band.band_width + self.extra for j in jobs]
+        pending = list(range(n))
+        attempt = 1
+        while pending:
+            edits, boundary = self._run_round([jobs[i] for i in pending], [widths[i] for i in pending])
+            next_pending = []
+            for slot, idx in enumerate(pending):
+                if boundary[slot] and attempt < self.max_attempts:
+                    widths[idx] = max(2 * widths[idx], max(1, abs(jobs[idx].band.mean_shift)))
+                    next_pending.append(idx)
+                else:
+                    results[idx] = edits[slot]
+            pending = next_pending
+            attempt += 1
+        return results
+
+    # ------------------------------------------------------------------ impl
+    def _run_round(self, jobs: list, widths: list):
+        from pangraph_tpu.ops.stripe_tpu import stripe_batch_jit
+
+        n = len(jobs)
+        edits = [None] * n
+        boundary = [False] * n
+        # bucket by (R_pad, B)
+        buckets = {}
+        for i, (job, W) in enumerate(zip(jobs, widths)):
+            # rows bucket covers both lengths so the qry buffer (R_pad + B) is
+            # always large enough for the band's rightmost column
+            key = (_bucket_rpad(max(len(job.ref), len(job.qry))), _bucket_b(W))
+            buckets.setdefault(key, []).append(i)
+        for (R_pad, B), idxs in buckets.items():
+            # chunk so the paths buffer stays within budget
+            max_chunk = max(PATHS_BYTES_BUDGET // (R_pad * B), 1)
+            for c0 in range(0, len(idxs), max_chunk):
+                chunk = idxs[c0 : c0 + max_chunk]
+                m = len(chunk)
+                ref_mask = np.zeros((m, R_pad), dtype=np.uint8)
+                qry_mask = np.zeros((m, R_pad + B), dtype=np.uint8)
+                rlen = np.zeros(m, dtype=np.int32)
+                qlen = np.zeros(m, dtype=np.int32)
+                msv = np.zeros(m, dtype=np.int32)
+                Wv = np.zeros(m, dtype=np.int32)
+                for s, i in enumerate(chunk):
+                    j = jobs[i]
+                    ref_mask[s, : len(j.ref)] = IUPAC_MASK[j.ref]
+                    qm = IUPAC_MASK[j.qry]
+                    qry_mask[s, : len(qm)] = qm
+                    rlen[s] = len(j.ref)
+                    qlen[s] = len(j.qry)
+                    msv[s] = j.band.mean_shift
+                    Wv[s] = (B - 2) // 2
+                paths, _H_last = stripe_batch_jit(ref_mask, qry_mask, rlen, qlen, msv, Wv, R_pad, B)
+                paths = np.asarray(paths)
+                for s, i in enumerate(chunk):
+                    j = jobs[i]
+                    e, hb = backtrace_band(paths[s], j.ref, j.qry, int(msv[s]), int(Wv[s]), B)
+                    if e is None:
+                        boundary[i] = True
+                        edits[i] = self._host_fallback(j)
+                    else:
+                        boundary[i] = hb
+                        edits[i] = e
+        return edits, boundary
+
+    def _host_fallback(self, job: AlignJob) -> Edit:
+        from pangraph_tpu.align.map_variations import map_variations
+
+        return map_variations(job.ref, job.qry, job.band, self.params, self.extra)
+
+    # callable interface used by MergePromise.solve / reconsensus
+    def __call__(self, ref, seqs, bands) -> list:
+        ref = as_seq(ref)
+        return self.align_many([AlignJob(ref, as_seq(s), b) for s, b in zip(seqs, bands)])
