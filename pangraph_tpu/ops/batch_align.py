@@ -156,52 +156,88 @@ class TpuBatchAligner:
         return results
 
     # ------------------------------------------------------------------ impl
-    def _run_round(self, jobs: list, widths: list):
-        from pangraph_tpu.ops.stripe_tpu import stripe_batch_jit
+    CHUNK_ROWS = 512  # C: rows per kernel dispatch (one compile per (C, B))
+    MAX_SUB_BATCH = 128
 
+    def _run_round(self, jobs: list, widths: list):
         n = len(jobs)
         edits = [None] * n
         boundary = [False] * n
-        # bucket by (R_pad, B)
-        buckets = {}
-        for i, (job, W) in enumerate(zip(jobs, widths)):
-            # rows bucket covers both lengths so the qry buffer (R_pad + B) is
-            # always large enough for the band's rightmost column
-            key = (_bucket_rpad(max(len(job.ref), len(job.qry))), _bucket_b(W))
-            buckets.setdefault(key, []).append(i)
-        for (R_pad, B), idxs in buckets.items():
-            # chunk so the paths buffer stays within budget
-            max_chunk = max(PATHS_BYTES_BUDGET // (R_pad * B), 1)
-            for c0 in range(0, len(idxs), max_chunk):
-                chunk = idxs[c0 : c0 + max_chunk]
-                m = len(chunk)
-                ref_mask = np.zeros((m, R_pad), dtype=np.uint8)
-                qry_mask = np.zeros((m, R_pad + B), dtype=np.uint8)
-                rlen = np.zeros(m, dtype=np.int32)
-                qlen = np.zeros(m, dtype=np.int32)
-                msv = np.zeros(m, dtype=np.int32)
-                Wv = np.zeros(m, dtype=np.int32)
-                for s, i in enumerate(chunk):
-                    j = jobs[i]
-                    ref_mask[s, : len(j.ref)] = IUPAC_MASK[j.ref]
-                    qm = IUPAC_MASK[j.qry]
-                    qry_mask[s, : len(qm)] = qm
-                    rlen[s] = len(j.ref)
-                    qlen[s] = len(j.qry)
-                    msv[s] = j.band.mean_shift
-                    Wv[s] = (B - 2) // 2
-                paths, _H_last = stripe_batch_jit(ref_mask, qry_mask, rlen, qlen, msv, Wv, R_pad, B)
-                paths = np.asarray(paths)
-                for s, i in enumerate(chunk):
-                    j = jobs[i]
-                    e, hb = backtrace_band(paths[s], j.ref, j.qry, int(msv[s]), int(Wv[s]), B)
-                    if e is None:
-                        boundary[i] = True
-                        edits[i] = self._host_fallback(j)
-                    else:
-                        boundary[i] = hb
-                        edits[i] = e
+        # group only by band width: the chunked kernel handles any length
+        groups = {}
+        for i, W in enumerate(widths):
+            groups.setdefault(_bucket_b(W), []).append(i)
+        for B, idxs in groups.items():
+            # sub-batch jobs of similar length to limit frozen-row waste
+            idxs = sorted(idxs, key=lambda i: -len(jobs[i].ref))
+            c0 = 0
+            while c0 < len(idxs):
+                sub = [idxs[c0]]
+                top = len(jobs[idxs[c0]].ref)
+                c0 += 1
+                while (
+                    c0 < len(idxs)
+                    and len(sub) < self.MAX_SUB_BATCH
+                    and len(jobs[idxs[c0]].ref) * 2 >= top
+                ):
+                    sub.append(idxs[c0])
+                    c0 += 1
+                self._run_sub_batch(jobs, sub, B, edits, boundary)
         return edits, boundary
+
+    def _run_sub_batch(self, jobs, sub, B, edits, boundary):
+        from pangraph_tpu.ops.stripe_tpu import init_carry, stripe_chunk_batch
+
+        C = self.CHUNK_ROWS
+        m = len(sub)
+        rlen = np.array([len(jobs[i].ref) for i in sub], dtype=np.int32)
+        qlen = np.array([len(jobs[i].qry) for i in sub], dtype=np.int32)
+        msv = np.array([jobs[i].band.mean_shift for i in sub], dtype=np.int32)
+        Wv = np.full(m, (B - 2) // 2, dtype=np.int32)
+        ref_masks = [IUPAC_MASK[jobs[i].ref] for i in sub]
+        qry_masks = [IUPAC_MASK[jobs[i].qry] for i in sub]
+        R_max = int(rlen.max())
+        n_chunks = (R_max + C - 1) // C
+
+        carry = init_carry(m, qlen, msv, Wv, B)
+        pending_dev = None  # (device paths, host list slot)
+        paths_chunks = []
+        for c in range(n_chunks):
+            rows_start = 1 + c * C
+            ref_chunk = np.zeros((m, C), dtype=np.uint8)
+            qry_window = np.zeros((m, C + B), dtype=np.uint8)
+            win_off = np.zeros(m, dtype=np.int32)
+            for s in range(m):
+                rm = ref_masks[s]
+                a = rows_start - 1
+                seg = rm[a : a + C]
+                ref_chunk[s, : len(seg)] = seg
+                lo_c0 = band_lo_host(rows_start, int(msv[s]), int(Wv[s]), int(qlen[s]), B)
+                wo = max(lo_c0 - 1, 0)
+                win_off[s] = wo
+                qm = qry_masks[s]
+                wseg = qm[wo : wo + C + B]
+                qry_window[s, : len(wseg)] = wseg
+            carry_and_paths = stripe_chunk_batch(
+                *carry, ref_chunk, qry_window, win_off, rows_start, rlen, qlen, msv, Wv, C, B
+            )
+            carry, paths_c = carry_and_paths
+            if pending_dev is not None:
+                paths_chunks.append(np.asarray(pending_dev))
+            pending_dev = paths_c
+        if pending_dev is not None:
+            paths_chunks.append(np.asarray(pending_dev))
+        paths = np.concatenate(paths_chunks, axis=1) if paths_chunks else np.zeros((m, 0, B), dtype=np.int8)
+
+        for s, i in enumerate(sub):
+            j = jobs[i]
+            e, hb = backtrace_band(paths[s], j.ref, j.qry, int(msv[s]), int(Wv[s]), B)
+            if e is None:
+                boundary[i] = True
+                edits[i] = self._host_fallback(j)
+            else:
+                boundary[i] = hb
+                edits[i] = e
 
     def _host_fallback(self, job: AlignJob) -> Edit:
         from pangraph_tpu.align.map_variations import map_variations

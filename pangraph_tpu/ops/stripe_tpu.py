@@ -141,6 +141,118 @@ def _row_step(carry, i, *, B, ref_mask, qry_mask_padded, rlen, qlen, ms, W):
     return (H_out, qgap_out, lo_out, pprev_out), path.astype(jnp.int8)
 
 
+# --------------------------------------------------------------------------- #
+#  Chunked kernel: fixed (C, B) shapes -> one compilation per band width.     #
+#  The row dimension is processed in chunks of C rows; the carry threads      #
+#  between chunk calls, so arbitrary sequence lengths reuse one executable.   #
+# --------------------------------------------------------------------------- #
+def _chunk_step_single(carry, ref_chunk, qry_window, win_off, rows_start, rlen, qlen, ms, W, *, C, B):
+    """Run C DP rows [rows_start, rows_start + C) for one problem.
+
+    ref_chunk [C]: IUPAC masks of ref[i-1] for those rows.
+    qry_window [C + B]: IUPAC masks of qry starting at column win_off (i.e.
+    qry_window[j] = qry_mask[win_off + j]); covers every band column the chunk
+    touches since lo is 1-Lipschitz.
+    """
+    H_prev, qgap, lo_prev, pprev_hi = carry
+    k = jnp.arange(B, dtype=jnp.int32)
+
+    def row(carry, r):
+        H_prev, qgap, lo_prev, pprev_hi = carry
+        i = rows_start + r
+        lo = band_lo(i, ms, W, qlen, B)
+        shift = lo - lo_prev
+        qpos = lo + k
+        in_matrix = (qpos <= qlen) & (i <= rlen)
+        edge_hi = k == B - 1
+        edge_lo = k == 0
+
+        H_diag = jnp.where(shift == 1, H_prev, jnp.roll(H_prev, 1))
+        H_diag = jnp.where((shift == 0) & edge_lo, NO_ALIGN, H_diag)
+        diag_valid = (qpos - 1 >= lo_prev) & (qpos - 1 < lo_prev + B) & (qpos >= 1) & in_matrix
+        H_up = jnp.where(shift == 0, H_prev, jnp.roll(H_prev, -1))
+        qgap_up = jnp.where(shift == 0, qgap, jnp.roll(qgap, -1))
+        H_up = jnp.where((shift == 1) & edge_hi, NO_ALIGN, H_up)
+        qgap_up = jnp.where((shift == 1) & edge_hi, NO_ALIGN, qgap_up)
+        up_valid = (qpos < lo_prev + B) & (qpos >= 1) & in_matrix
+
+        rm = ref_chunk[r].astype(jnp.int32)
+        # qry_mask[qpos - 1] = qry_window[qpos - 1 - win_off]
+        qm = jnp.take(qry_window, qpos - 1 - win_off, mode="clip").astype(jnp.int32)
+        unknown = (rm == 15) | (qm == 15)
+        compat = (rm & qm) > 0
+        msub = jnp.where(unknown, SCORE_MATCH - 1, jnp.where(compat, SCORE_MATCH, -PENALTY_MISMATCH))
+        M = jnp.where(diag_valid, H_diag + msub, NO_ALIGN)
+        interior = (qpos >= 1) & (i < rlen) & (qpos < qlen) & in_matrix
+        path = jnp.where(~diag_valid & interior, BOUNDARY, 0).astype(jnp.int32)
+
+        q_free = qpos == qlen
+        q_open_val = jnp.where(q_free, H_up, H_up - GAP_OPEN)
+        q_ext_allowed = (qgap_up >= q_open_val) & (qpos < pprev_hi)
+        QG = jnp.where(up_valid, jnp.where(q_ext_allowed, qgap_up, q_open_val), NO_ALIGN)
+        path = path | jnp.where(up_valid & q_ext_allowed, QRY_GAP_EXTEND, 0)
+        path = path | jnp.where(~up_valid & interior, BOUNDARY, 0)
+        new_qgap = jnp.where(up_valid, QG, NO_ALIGN)
+
+        first_col = (qpos == 0) & in_matrix
+        M = jnp.where(first_col, 0, M)
+        NQ = jnp.maximum(M, QG)
+
+        gap_cost = jnp.where(i == rlen, 0, GAP_OPEN)
+        seed = jnp.concatenate([jnp.full((1,), NO_ALIGN), NQ[:-1] - gap_cost])
+        G = jax.lax.associative_scan(jnp.maximum, seed)
+        G = jnp.where(edge_lo, NO_ALIGN, G)
+        path = path | jnp.where(edge_lo & interior, BOUNDARY, 0)
+        prevG = jnp.concatenate([jnp.full((1,), NO_ALIGN), G[:-1]])
+        Hm1 = jnp.maximum(NQ, G)
+        r_open_prev = jnp.concatenate([jnp.full((1,), NO_ALIGN), Hm1[:-1] - gap_cost])
+        r_ext = (prevG >= r_open_prev) & (k > 1)
+        path = path | jnp.where((G > NO_ALIGN) & r_ext, REF_GAP_EXTEND, 0)
+
+        best_mr = jnp.where(G >= M, G, M)
+        origin_mr = jnp.where(G >= M, REF_GAP_MATRIX, MATCH)
+        H = jnp.where(QG >= best_mr, QG, best_mr)
+        origin = jnp.where(QG >= best_mr, QRY_GAP_MATRIX, origin_mr)
+
+        H = jnp.where(first_col, 0, H)
+        origin = jnp.where(first_col, QRY_GAP_MATRIX, origin)
+        path = jnp.where(first_col, QRY_GAP_EXTEND, path)
+        path = path | origin
+        H = jnp.where(in_matrix, H, NO_ALIGN)
+        path = jnp.where(in_matrix, path, 0)
+
+        live = i <= rlen
+        H_out = jnp.where(live, H, H_prev)
+        qgap_out = jnp.where(live, new_qgap, qgap)
+        lo_out = jnp.where(live, lo, lo_prev)
+        pprev_out = jnp.where(live, lo_prev + B, pprev_hi)
+        return (H_out, qgap_out, lo_out, pprev_out), path.astype(jnp.int8)
+
+    carry, paths = jax.lax.scan(row, carry, jnp.arange(C, dtype=jnp.int32))
+    return carry, paths
+
+
+@functools.partial(jax.jit, static_argnames=("C", "B"))
+def stripe_chunk_batch(H, qgap, lo_prev, pprev_hi, ref_chunk, qry_window, win_off, rows_start, rlen, qlen, ms, W, C: int, B: int):
+    """Batched chunk step. All leading dims = batch except rows_start (scalar)."""
+    def one(H, qgap, lo_prev, pprev_hi, ref_chunk, qry_window, win_off, rlen, qlen, ms, W):
+        return _chunk_step_single(
+            (H, qgap, lo_prev, pprev_hi), ref_chunk, qry_window, win_off, rows_start, rlen, qlen, ms, W, C=C, B=B
+        )
+    return jax.vmap(one)(H, qgap, lo_prev, pprev_hi, ref_chunk, qry_window, win_off, rlen, qlen, ms, W)
+
+
+def init_carry(batch: int, qlen, ms, W, B: int):
+    """Row-0 carry: free leading insertion across the band (numpy, host)."""
+    import numpy as np
+
+    lo0 = np.clip(-ms - W, 0, np.maximum(qlen + 1 - B, 0)).astype(np.int32)
+    k = np.arange(B, dtype=np.int32)
+    H0 = np.where(lo0[:, None] + k[None, :] <= qlen[:, None], 0, int(NO_ALIGN)).astype(np.int32)
+    qgap0 = np.full((batch, B), int(NO_ALIGN), dtype=np.int32)
+    return H0, qgap0, lo0, np.zeros(batch, dtype=np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("R_pad", "B"))
 def stripe_single(ref_mask, qry_mask, rlen, qlen, ms, W, R_pad: int, B: int):
     """One problem: returns (paths [R_pad, B] for rows 1..R_pad, H_last [B]).

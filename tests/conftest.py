@@ -7,6 +7,11 @@ xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; force via config
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 
 import pytest
