@@ -95,6 +95,27 @@ def collapse_cigar(cigar) -> list:
     return out
 
 
+def edit_to_cigar(edit, ref_len: int) -> list:
+    """Ref-major CIGAR from an Edit (inverse of edits.edit_from_cigar).
+    Insertions sort before deletions at equal positions."""
+    events = [(i.pos, 0, len(i.seq)) for i in edit.inss] + [(d.pos, 1, d.len) for d in edit.dels]
+    events.sort()
+    ops = []
+    rpos = 0
+    for pos, kind, length in events:
+        if pos > rpos:
+            ops.append((pos - rpos, "M"))
+            rpos = pos
+        if kind == 0:
+            ops.append((length, "I"))
+        else:
+            ops.append((length, "D"))
+            rpos += length
+    if rpos < ref_len:
+        ops.append((ref_len - rpos, "M"))
+    return collapse_cigar(ops)
+
+
 def cigar_from_aligned_pair(ref_aln, qry_aln) -> list:
     """CIGAR (ref-major) from a gapped aligned pair of uint8 arrays."""
     import numpy as np

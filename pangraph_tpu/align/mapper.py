@@ -132,10 +132,28 @@ def collect_anchors(index: MinimizerIndex, qmm: Minimizers, qid: int):
     return rid, rpos, qpos, rel
 
 
-def _chain_to_alignment(
-    ref_seq, qry_seq, rid_name, qid_name, rlen, qlen, cr, cq, rel, p: MapperParams, band_params: BandedAlignParams
-):
-    """Banded base-level alignment over one chain span -> Alignment record."""
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass
+class _ChainJob:
+    """One chain span awaiting base-level alignment."""
+
+    ref_seg: np.ndarray
+    qry_seg: np.ndarray
+    mean_shift: int
+    band_width: int
+    rid_name: object
+    qid_name: object
+    rlen: int
+    qlen: int
+    rs: int
+    qs: int  # segment start in aligned-orientation coords
+    qe: int
+    rel: int
+
+
+def _prepare_chain_job(ref_seq, qry_seq, rc_qry, rid_name, qid_name, rlen, qlen, cr, cq, rel, p: MapperParams):
     k = p.k
     rs, re_ = int(cr[0]), int(cr[-1]) + k
     qs, qe = int(cq[0]), int(cq[-1]) + k
@@ -143,51 +161,89 @@ def _chain_to_alignment(
     qs = max(qs - p.extend_flank, 0)
     re_ = min(re_ + p.extend_flank, rlen)
     qe = min(qe + p.extend_flank, qlen)
-
     ref_seg = ref_seq[rs:re_]
-    if rel:
-        qry_fwd_start = qlen - qe
-        qry_fwd_end = qlen - qs
-        qry_seg = revcomp(qry_seq)[qs:qe]
-    else:
-        qry_fwd_start, qry_fwd_end = qs, qe
-        qry_seg = qry_seq[qs:qe]
-
+    qry_seg = (rc_qry if rel else qry_seq)[qs:qe]
     # diagonal band around the chain in segment coordinates (r - q convention)
     diag = (cr - rs) - (cq - qs)
     ms = int(np.round(np.mean(diag)))
     bw = int(max(np.max(np.abs(diag - ms)), 1)) + p.band_extra
-    aln = align_banded(ref_seg, qry_seg, ms, bw, band_params)
-    if aln.hit_boundary:
-        aln = align_banded(ref_seg, qry_seg, ms, 2 * bw + 16, band_params)
+    return _ChainJob(ref_seg, qry_seg, ms, bw, rid_name, qid_name, rlen, qlen, rs, qs, qe, rel)
 
-    cigar = collapse_cigar(cigar_from_aligned_pair(aln.ref_aln, aln.qry_aln))
-    # alignment statistics
-    both = (aln.ref_aln != GAP) & (aln.qry_aln != GAP)
-    mlen = int(np.count_nonzero(both & (aln.ref_aln == aln.qry_aln)))
-    blen = len(aln.ref_aln)
-    mism = int(np.count_nonzero(both)) - mlen
-    gap_opens = sum(1 for _, op in cigar if op in ("I", "D"))
-    denom = mlen + mism + gap_opens
-    divergence = (mism + gap_opens) / denom if denom else 1.0
 
+def _finish_chain_alignment(job: _ChainJob, edit) -> Alignment:
+    """Edit over the chain span -> trimmed local Alignment record."""
+    from pangraph_tpu.align.cigar import edit_to_cigar
+
+    seg_rlen = len(job.ref_seg)
+    cigar = edit_to_cigar(edit, seg_rlen)
+    # trim flanking indels into the hit interval (local alignment semantics)
+    rs, re_ = job.rs, job.rs + seg_rlen
+    qs_a, qe_a = job.qs, job.qe  # aligned-orientation coords
+    while cigar and cigar[0][1] != "M":
+        n, op = cigar.pop(0)
+        if op == "D":
+            rs += n
+        else:
+            qs_a += n
+    while cigar and cigar[-1][1] != "M":
+        n, op = cigar.pop()
+        if op == "D":
+            re_ -= n
+        else:
+            qe_a -= n
+    if not cigar:
+        return None
+    n_subs = len(edit.subs)
+    m_total = sum(n for n, op in cigar if op == "M")
+    gap_opens = sum(1 for _, op in cigar if op != "M")
+    mlen = m_total - n_subs
+    denom = m_total + gap_opens
+    divergence = (n_subs + gap_opens) / denom if denom else 1.0
+    if job.rel:
+        q_start, q_end = job.qlen - qe_a, job.qlen - qs_a
+    else:
+        q_start, q_end = qs_a, qe_a
     return Alignment(
-        qry=Hit.new(qid_name, qlen, (qry_fwd_start, qry_fwd_end)),
-        reff=Hit.new(rid_name, rlen, (rs, re_)),
+        qry=Hit.new(job.qid_name, job.qlen, (q_start, q_end)),
+        reff=Hit.new(job.rid_name, job.rlen, (rs, re_)),
         matches=mlen,
-        length=blen,
+        length=sum(n for n, _ in cigar),
         quality=60,
-        orientation="-" if rel else "+",
+        orientation="-" if job.rel else "+",
         cigar=cigar,
         divergence=divergence,
-        align_score=float(aln.score),
+        align_score=None,
     )
 
 
-def map_all_vs_all(seqs_by_name: dict, p: MapperParams, band_params: BandedAlignParams = None) -> list:
+def _align_chain_jobs(jobs: list, band_params: BandedAlignParams, aligner=None) -> list:
+    """Base-level alignment of chain spans: batched on device when an aligner
+    with align_many is provided, host numpy stripe otherwise."""
+    from pangraph_tpu.align.map_variations import edits_from_aligned_pair
+    from pangraph_tpu.align.params import BandParameters
+
+    if aligner is not None and hasattr(aligner, "align_many"):
+        from pangraph_tpu.ops.batch_align import AlignJob
+
+        return aligner.align_many(
+            [AlignJob(j.ref_seg, j.qry_seg, BandParameters(j.mean_shift, j.band_width)) for j in jobs]
+        )
+    edits = []
+    for j in jobs:
+        aln = align_banded(j.ref_seg, j.qry_seg, j.mean_shift, j.band_width, band_params)
+        if aln.hit_boundary:
+            aln = align_banded(j.ref_seg, j.qry_seg, j.mean_shift, 2 * j.band_width + 16, band_params)
+        edits.append(edits_from_aligned_pair(aln.ref_aln, aln.qry_aln, len(j.ref_seg)))
+    return edits
+
+
+def map_all_vs_all(
+    seqs_by_name: dict, p: MapperParams, band_params: BandedAlignParams = None, aligner=None
+) -> list:
     """Map every sequence against every other (minimap2 -X semantics: skip
     self-mapping and dual pairs — each unordered pair is reported once).
-    Returns Alignment records with block names as Hit names."""
+    Returns Alignment records with block names as Hit names. All base-level
+    chain-span alignments are collected first and batched through `aligner`."""
     band_params = band_params or BandedAlignParams()
     names = sorted(seqs_by_name)
     seqs = [as_seq(seqs_by_name[n]) for n in names]
@@ -195,7 +251,7 @@ def map_all_vs_all(seqs_by_name: dict, p: MapperParams, band_params: BandedAlign
     chain_p = ChainParams(
         k=p.k, max_gap=p.max_gap, bw=p.bw, min_score=p.min_chain_score, min_anchors=p.min_anchors
     )
-    out = []
+    jobs = []
     for qi, qname in enumerate(names):
         qseq = seqs[qi]
         qmm = sketch(qseq, p.k, p.w)
@@ -206,6 +262,7 @@ def map_all_vs_all(seqs_by_name: dict, p: MapperParams, band_params: BandedAlign
         if len(rid) == 0:
             continue
         qlen = len(qseq)
+        rc_qry = revcomp(qseq) if (rel == 1).any() else None
         # reverse matches: chain in revcomp-query coordinates
         q_eff = np.where(rel == 1, qlen - qpos - p.k, qpos)
         # chain per (target, strand) group
@@ -223,18 +280,25 @@ def map_all_vs_all(seqs_by_name: dict, p: MapperParams, band_params: BandedAlign
                 for s, e in split_chain_at_jumps(cr_full, cq_full, p.diag_break, p.max_gap):
                     if e - s < p.min_anchors:
                         continue
-                    aln = _chain_to_alignment(
-                        seqs[ri],
-                        qseq,
-                        names[ri],
-                        qname,
-                        int(index.lengths[ri]),
-                        qlen,
-                        cr_full[s:e],
-                        cq_full[s:e],
-                        strand_rel,
-                        p,
-                        band_params,
+                    jobs.append(
+                        _prepare_chain_job(
+                            seqs[ri],
+                            qseq,
+                            rc_qry,
+                            names[ri],
+                            qname,
+                            int(index.lengths[ri]),
+                            qlen,
+                            cr_full[s:e],
+                            cq_full[s:e],
+                            strand_rel,
+                            p,
+                        )
                     )
-                    out.append(aln)
+    edits = _align_chain_jobs(jobs, band_params, aligner)
+    out = []
+    for job, edit in zip(jobs, edits):
+        aln = _finish_chain_alignment(job, edit)
+        if aln is not None:
+            out.append(aln)
     return out

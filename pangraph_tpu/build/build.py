@@ -28,7 +28,7 @@ def make_find_matches(args: BuildArgs, aligner=None):
 
     def find_matches(blocks: dict, aln_args):
         seqs = {bid: b.consensus for bid, b in blocks.items()}
-        return map_all_vs_all(seqs, mp, args.banded_params)
+        return map_all_vs_all(seqs, mp, args.banded_params, aligner=aligner)
 
     return find_matches
 

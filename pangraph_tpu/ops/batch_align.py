@@ -54,7 +54,13 @@ def _bucket_b(W: int) -> int:
 
 
 def band_lo_host(i, ms, W, qlen, B):
-    return int(np.clip(i - ms - W, 0, max(qlen + 1 - B, 0)))
+    lo = i - ms - W
+    hi = qlen + 1 - B
+    if hi < 0:
+        hi = 0
+    if lo < 0:
+        return 0
+    return lo if lo < hi else hi
 
 
 def backtrace_band(paths: np.ndarray, ref: np.ndarray, qry: np.ndarray, ms: int, W: int, B: int):
@@ -69,12 +75,24 @@ def backtrace_band(paths: np.ndarray, ref: np.ndarray, qry: np.ndarray, ms: int,
     ins_run = []  # current insertion chars (reversed)
     hit_boundary = False
     state = 0
+    flat = paths.tobytes()  # fast scalar indexing
+    ref = ref.tobytes() if hasattr(ref, "tobytes") else ref
+    qry_b = qry.tobytes() if hasattr(qry, "tobytes") else qry
+    qry = qry_b
+    lo_hi = qlen + 1 - B
+    if lo_hi < 0:
+        lo_hi = 0
+    lo_base = -ms - W  # lo(i) = clamp(i + lo_base, 0, lo_hi)
     while i > 0:
-        lo = band_lo_host(i, ms, W, qlen, B)
+        lo = i + lo_base
+        if lo < 0:
+            lo = 0
+        elif lo > lo_hi:
+            lo = lo_hi
         k = q - lo
         if k < 0 or k >= B:
             return None, True  # fell out of band: force retry
-        bits = int(paths[i - 1, k])
+        bits = flat[(i - 1) * B + k]
         if bits == 0:
             return None, True
         if bits & BOUNDARY:
@@ -124,6 +142,30 @@ def backtrace_band(paths: np.ndarray, ref: np.ndarray, qry: np.ndarray, ms: int,
     return Edit(subs=subs, dels=dels, inss=inss), hit_boundary
 
 
+def _edit_from_rle(ops, n_ops, subs, n_subs, lead_ins, qry) -> Edit:
+    """Build an Edit from the fused kernel's compact outputs. ops are emitted
+    end-to-start; subs carry absolute ref positions + query chars."""
+    OP_M, OP_I, OP_D = 0, 1, 2
+    out_subs = [Sub(int(subs[s, 0]), chr(int(subs[s, 1]))) for s in range(n_subs - 1, -1, -1)]
+    dels, inss = [], []
+    rpos = 0
+    qpos = lead_ins
+    if lead_ins:
+        inss.append(Ins(0, bytes(qry[:lead_ins]).decode()))
+    for t in range(n_ops - 1, -1, -1):
+        op, length = int(ops[t, 0]), int(ops[t, 1])
+        if op == OP_M:
+            rpos += length
+            qpos += length
+        elif op == OP_D:
+            dels.append(Del(rpos, length))
+            rpos += length
+        else:
+            inss.append(Ins(rpos, bytes(qry[qpos : qpos + length]).decode()))
+            qpos += length
+    return Edit(subs=out_subs, dels=dels, inss=inss)
+
+
 class TpuBatchAligner:
     """Batched aligner backed by the JAX stripe kernel."""
 
@@ -158,8 +200,81 @@ class TpuBatchAligner:
     # ------------------------------------------------------------------ impl
     CHUNK_ROWS = 512  # C: rows per kernel dispatch (one compile per (C, B))
     MAX_SUB_BATCH = 128
+    # fused-kernel tiers: R_cap ladder; batch size derived from a paths-buffer
+    # budget so each (R_cap, B) tier compiles exactly once
+    R_TIERS = (4096, 32768, 262144, 2097152)
+    TIER_BYTES = 256 * 1024 * 1024
+    use_fused = False  # fused path pending Pallas DP engine; chunked wins on the tunneled dev TPU
+
+    def _tier_batch(self, R_cap: int, B: int) -> int:
+        m = max(self.TIER_BYTES // (R_cap * B), 1)
+        # round down to a power of two, cap at 128
+        p = 1
+        while p * 2 <= min(m, 128):
+            p *= 2
+        return p
 
     def _run_round(self, jobs: list, widths: list):
+        if self.use_fused:
+            return self._run_round_fused(jobs, widths)
+        return self._run_round_chunked(jobs, widths)
+
+    def _run_round_fused(self, jobs: list, widths: list):
+        from pangraph_tpu.ops.stripe_fused import stripe_align_fused
+
+        n = len(jobs)
+        edits = [None] * n
+        boundary = [False] * n
+        groups = {}
+        for i, W in enumerate(widths):
+            L = max(len(jobs[i].ref), len(jobs[i].qry))
+            B = _bucket_b(W)
+            tier = next((t for t in self.R_TIERS if t >= L + 1), None)
+            if tier is None:
+                # beyond the largest tier: host fallback
+                edits[i] = self._host_fallback(jobs[i])
+                continue
+            groups.setdefault((tier, B), []).append(i)
+
+        for (R_cap, B), idxs in groups.items():
+            M = self._tier_batch(R_cap, B)
+            idxs = sorted(idxs, key=lambda i: -len(jobs[i].ref))
+            for c0 in range(0, len(idxs), M):
+                sub = idxs[c0 : c0 + M]
+                m = len(sub)
+                ref_seq = np.zeros((M, R_cap), dtype=np.uint8)
+                qry_seq = np.zeros((M, R_cap + B), dtype=np.uint8)
+                ref_mask = np.zeros((M, R_cap), dtype=np.uint8)
+                qry_mask = np.zeros((M, R_cap + B), dtype=np.uint8)
+                rlen = np.zeros(M, dtype=np.int32)
+                qlen = np.zeros(M, dtype=np.int32)
+                msv = np.zeros(M, dtype=np.int32)
+                Wv = np.full(M, (B - 2) // 2, dtype=np.int32)
+                for s, i in enumerate(sub):
+                    j = jobs[i]
+                    ref_seq[s, : len(j.ref)] = j.ref
+                    qry_seq[s, : len(j.qry)] = j.qry
+                    ref_mask[s, : len(j.ref)] = IUPAC_MASK[j.ref]
+                    qry_mask[s, : len(j.qry)] = IUPAC_MASK[j.qry]
+                    rlen[s] = len(j.ref)
+                    qlen[s] = len(j.qry)
+                    msv[s] = j.band.mean_shift
+                out = stripe_align_fused(ref_seq, qry_seq, ref_mask, qry_mask, rlen, qlen, msv, Wv, R_cap, B)
+                out = {k: np.asarray(v) for k, v in out.items()}
+                for s, i in enumerate(sub):
+                    j = jobs[i]
+                    if out["overflow"][s]:
+                        boundary[i] = bool(out["boundary"][s])
+                        edits[i] = self._host_fallback(j)
+                        continue
+                    boundary[i] = bool(out["boundary"][s])
+                    edits[i] = _edit_from_rle(
+                        out["ops"][s], int(out["n_ops"][s]), out["subs"][s], int(out["n_subs"][s]),
+                        int(out["lead_ins"][s]), j.qry,
+                    )
+        return edits, boundary
+
+    def _run_round_chunked(self, jobs: list, widths: list):
         n = len(jobs)
         edits = [None] * n
         boundary = [False] * n
