@@ -33,7 +33,7 @@ def make_find_matches(args: BuildArgs, aligner=None):
     return find_matches
 
 
-def build(records, args: BuildArgs, aligner=None) -> Pangraph:
+def build(records, args: BuildArgs, aligner=None, find_matches_override=None) -> Pangraph:
     """records: list of FastaRecord. Returns the merged pangenome graph."""
     names = [r.seq_name for r in records]
     if len(set(names)) != len(names):
@@ -49,7 +49,7 @@ def build(records, args: BuildArgs, aligner=None) -> Pangraph:
         tree = balance_tree(tree)
     log.info("guide tree: %s", tree.to_newick())
 
-    find_matches = make_find_matches(args, aligner)
+    find_matches = find_matches_override or make_find_matches(args, aligner)
 
     if tree.is_leaf():
         return graphs[tree.data]

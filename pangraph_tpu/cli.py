@@ -1,0 +1,267 @@
+"""Command-line interface.
+
+Mirrors the reference CLI surface (commands/root_args.rs:61-123): build,
+export {gfa, block-consensus, block-sequences, core-genome}, simplify,
+reconstruct, schema, completions. Run as `python -m pangraph_tpu.cli` or via
+the `pangraph-tpu` entry point.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def _add_verbosity(p):
+    p.add_argument("-v", "--verbose", action="count", default=0, help="Increase verbosity")
+    p.add_argument("-q", "--quiet", action="count", default=0, help="Decrease verbosity")
+    p.add_argument("--verbosity", default=None, help="Set verbosity level explicitly")
+    p.add_argument("-j", "--jobs", type=int, default=None, help="Number of host threads (advisory)")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="pangraph-tpu", description="TPU-native pangenome graph toolkit")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    b = sub.add_parser("build", help="Align genomes into a multiple sequence alignment graph")
+    b.add_argument("input_fastas", nargs="+", help="Input FASTA files (optionally compressed)")
+    b.add_argument("-o", "--output-json", default="-", help="Output graph JSON path ('-' = stdout)")
+    b.add_argument("-l", "--len", dest="indel_len_threshold", type=int, default=100, help="Minimum block size")
+    b.add_argument("-a", "--alpha", type=float, default=100.0, help="Energy cost of block splits")
+    b.add_argument("-b", "--beta", type=float, default=10.0, help="Energy cost of alignment diversity")
+    b.add_argument("-c", "--circular", action="store_true", help="Treat genomes as circular")
+    b.add_argument("-x", "--max-self-map", type=int, default=100, help="Max self-merge iterations")
+    b.add_argument("-s", "--sensitivity", type=int, default=10, help="Alignment preset: 5/10/20 (asm5/10/20)")
+    b.add_argument("-K", "--kmer-length", type=int, default=None, help="k-mer length override")
+    b.add_argument(
+        "-k", "--alignment-kernel", default="minimap2", choices=["minimap2", "mmseqs"], help="Alignment backend"
+    )
+    b.add_argument("-f", "--verify", action="store_true", help="Verify lossless reconstruction")
+    b.add_argument("--extra-band-width", type=int, default=5)
+    b.add_argument("--max-alignment-attempts", type=int, default=4)
+    b.add_argument("--guide-tree", default=None, help="Newick guide tree path")
+    b.add_argument("--no-tpu", action="store_true", help="Run alignment kernels on host instead of TPU")
+    b.add_argument("--no-progress-bar", action="store_true")
+    b.add_argument("--upper-case", action="store_true", help="Uppercase input sequences (always on)")
+    _add_verbosity(b)
+
+    e = sub.add_parser("export", help="Export a pangenome graph")
+    esub = e.add_subparsers(dest="export_what", required=True)
+
+    eg = esub.add_parser("gfa", help="Export GFA v1")
+    eg.add_argument("input_json")
+    eg.add_argument("-o", "--output", default="-")
+    eg.add_argument("--minimum-length", type=int, default=None)
+    eg.add_argument("--maximum-length", type=int, default=None)
+    eg.add_argument("--minimum-depth", type=int, default=None)
+    eg.add_argument("--maximum-depth", type=int, default=None)
+    eg.add_argument("--include-sequences", action="store_true")
+    eg.add_argument("--no-duplicated", action="store_true")
+    _add_verbosity(eg)
+
+    ec = esub.add_parser("block-consensus", help="Export block consensus sequences to FASTA")
+    ec.add_argument("input_json")
+    ec.add_argument("-o", "--output", default="-")
+    _add_verbosity(ec)
+
+    es = esub.add_parser("block-sequences", help="Export per-block sequences (one FASTA per block)")
+    es.add_argument("input_json")
+    es.add_argument("-o", "--output", required=True, help="Output directory")
+    es.add_argument("--unaligned", action="store_true")
+    _add_verbosity(es)
+
+    ek = esub.add_parser("core-genome", help="Export core-genome alignment")
+    ek.add_argument("input_json")
+    ek.add_argument("-o", "--output", default="-")
+    ek.add_argument("--guide-strain", required=True)
+    ek.add_argument("--unaligned", action="store_true")
+    _add_verbosity(ek)
+
+    s = sub.add_parser("simplify", help="Keep only selected strains and re-compact")
+    s.add_argument("input_json")
+    s.add_argument("-o", "--output-json", default="-")
+    s.add_argument("-s", "--strains", required=True, help="Comma-separated strain names to keep")
+    _add_verbosity(s)
+
+    r = sub.add_parser("reconstruct", help="Reconstruct input sequences from the graph")
+    r.add_argument("input_json")
+    r.add_argument("-o", "--output-fasta", default="-")
+    r.add_argument("--verify", default=None, help="FASTA to compare reconstruction against")
+    _add_verbosity(r)
+
+    sc = sub.add_parser("schema", help="Emit the graph JSON schema")
+    sc.add_argument("-o", "--output", default="-")
+    _add_verbosity(sc)
+
+    co = sub.add_parser("completions", help="Generate shell completions")
+    co.add_argument("shell", choices=["bash", "zsh", "fish"], nargs="?", default="bash")
+
+    return p
+
+
+def _setup_logging(args):
+    level = logging.WARNING
+    v = getattr(args, "verbose", 0) - getattr(args, "quiet", 0)
+    if v >= 2:
+        level = logging.DEBUG
+    elif v == 1:
+        level = logging.INFO
+    logging.basicConfig(level=level, format="%(asctime)s %(levelname)-5s %(name)s: %(message)s")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    _setup_logging(args)
+
+    if args.command == "build":
+        return _cmd_build(args)
+    if args.command == "export":
+        return _cmd_export(args)
+    if args.command == "simplify":
+        return _cmd_simplify(args)
+    if args.command == "reconstruct":
+        return _cmd_reconstruct(args)
+    if args.command == "schema":
+        from pangraph_tpu.commands import export_schema
+
+        out = export_schema(None if args.output == "-" else args.output)
+        if args.output == "-":
+            sys.stdout.write(out)
+        return 0
+    if args.command == "completions":
+        sys.stdout.write(_completions(args.shell))
+        return 0
+    return 2
+
+
+def _cmd_build(args) -> int:
+    from pangraph_tpu.align.params import AlignmentArgs, BuildArgs
+    from pangraph_tpu.build.build import build
+    from pangraph_tpu.io.fasta import read_fasta
+
+    build_args = BuildArgs(
+        circular=args.circular,
+        max_self_map=args.max_self_map,
+        extra_band_width=args.extra_band_width,
+        max_alignment_attempts=args.max_alignment_attempts,
+        verify=args.verify,
+        guide_tree=args.guide_tree,
+        aln_args=AlignmentArgs(
+            indel_len_threshold=args.indel_len_threshold,
+            alpha=args.alpha,
+            beta=args.beta,
+            sensitivity=args.sensitivity,
+            kmer_length=args.kmer_length,
+        ),
+    )
+    if args.alignment_kernel == "mmseqs":
+        from pangraph_tpu.align.mmseqs import check_mmseqs
+
+        check_mmseqs()
+
+    aligner = None
+    if not args.no_tpu:
+        from pangraph_tpu.ops.batch_align import TpuBatchAligner
+
+        aligner = TpuBatchAligner(
+            build_args.banded_params, build_args.extra_band_width, build_args.max_alignment_attempts
+        )
+    recs = read_fasta(args.input_fastas)
+    if args.alignment_kernel == "mmseqs":
+        from pangraph_tpu.align.mmseqs import make_mmseqs_find_matches
+
+        graph = build(recs, build_args, aligner=aligner, find_matches_override=make_mmseqs_find_matches(build_args))
+    else:
+        graph = build(recs, build_args, aligner=aligner)
+    graph.to_file(None if args.output_json == "-" else args.output_json)
+    return 0
+
+
+def _cmd_export(args) -> int:
+    from pangraph_tpu.graph.graph import Pangraph
+
+    graph = Pangraph.from_file(args.input_json)
+    if args.export_what == "gfa":
+        from pangraph_tpu.io.gfa import GfaParams, gfa_write
+
+        gfa_write(
+            graph,
+            None if args.output == "-" else args.output,
+            GfaParams(
+                minimum_length=args.minimum_length,
+                maximum_length=args.maximum_length,
+                minimum_depth=args.minimum_depth,
+                maximum_depth=args.maximum_depth,
+                include_sequences=args.include_sequences,
+                no_duplicated=args.no_duplicated,
+            ),
+        )
+    elif args.export_what == "block-consensus":
+        from pangraph_tpu.commands import export_block_consensus
+
+        export_block_consensus(graph, None if args.output == "-" else args.output)
+    elif args.export_what == "block-sequences":
+        from pangraph_tpu.commands import export_block_sequences
+
+        export_block_sequences(graph, args.output, unaligned=args.unaligned)
+    elif args.export_what == "core-genome":
+        from pangraph_tpu.commands import export_core_genome
+
+        export_core_genome(
+            graph, args.guide_strain, None if args.output == "-" else args.output, unaligned=args.unaligned
+        )
+    return 0
+
+
+def _cmd_simplify(args) -> int:
+    from pangraph_tpu.commands import simplify
+    from pangraph_tpu.graph.graph import Pangraph
+
+    graph = Pangraph.from_file(args.input_json)
+    graph = simplify(graph, args.strains.split(","))
+    graph.to_file(None if args.output_json == "-" else args.output_json)
+    return 0
+
+
+def _cmd_reconstruct(args) -> int:
+    from pangraph_tpu.commands import reconstruct_to_fasta
+    from pangraph_tpu.graph.graph import Pangraph, reconstruct
+    from pangraph_tpu.graph.seq import to_str
+    from pangraph_tpu.io.fasta import read_fasta
+
+    graph = Pangraph.from_file(args.input_json)
+    if args.verify:
+        expected = {r.seq_name: r.seq for r in read_fasta(args.verify)}
+        ok = True
+        for name, desc, seq in reconstruct(graph):
+            exp = expected.get(name)
+            if exp is None:
+                print(f"MISSING {name}: not in verification FASTA", file=sys.stderr)
+                ok = False
+            elif to_str(seq) != to_str(exp):
+                print(f"MISMATCH {name}: {len(seq)} bp vs expected {len(exp)} bp", file=sys.stderr)
+                ok = False
+        if ok:
+            print("All sequences reconstructed exactly", file=sys.stderr)
+        return 0 if ok else 1
+    reconstruct_to_fasta(graph, None if args.output_fasta == "-" else args.output_fasta)
+    return 0
+
+
+def _completions(shell: str) -> str:
+    cmds = "build export simplify reconstruct schema completions"
+    if shell == "bash":
+        return (
+            "_pangraph_tpu() {\n"
+            '  local cur="${COMP_WORDS[COMP_CWORD]}"\n'
+            f'  COMPREPLY=( $(compgen -W "{cmds}" -- "$cur") )\n'
+            "}\n"
+            "complete -F _pangraph_tpu pangraph-tpu\n"
+        )
+    if shell == "zsh":
+        return f"#compdef pangraph-tpu\n_arguments '1: :({cmds})'\n"
+    return f"complete -c pangraph-tpu -f -a '{cmds}'\n"
+
+
+if __name__ == "__main__":
+    sys.exit(main())
