@@ -1,0 +1,162 @@
+"""Analysis-layer tests (pypangraph-equivalent API) on the reference fixture
+and hand-built graphs (mirrors pypangraph/tests style)."""
+import numpy as np
+import pytest
+
+from pangraph_tpu.analysis import (
+    AnalysisGraph,
+    BackboneJunctions,
+    Edge,
+    OrientedBlock,
+    Walk,
+    minimal_synteny_units,
+    pangraph_to_walks,
+    path_junction_split,
+)
+from pangraph_tpu.analysis.topology import find_mergers, walk_categories
+
+
+@pytest.fixture(scope="module")
+def an(test_graph_path_mod):
+    return AnalysisGraph.load_json(test_graph_path_mod)
+
+
+@pytest.fixture(scope="module")
+def test_graph_path_mod():
+    import pathlib
+
+    return pathlib.Path("/root/reference/data/test_graph.json")
+
+
+def test_load_and_strains(an):
+    assert len(an.strains()) == 4
+    assert "pKPC_CAV1321-45" in an.strains()
+
+
+def test_blockstats_df(an):
+    df = an.to_blockstats_df()
+    assert set(df.columns) == {"count", "n_strains", "duplicated", "len", "core"}
+    assert len(df) == len(an.blocks)
+    core_ids = set(an.graph.core_block_ids())
+    assert set(df[df["core"]].index) == core_ids
+    # total node count conserved
+    assert int(df["count"].sum()) == len(an.nodes)
+
+
+def test_blockcount_df(an):
+    df = an.to_blockcount_df()
+    assert set(df.columns) == set(an.strains())
+    assert int(df.sum().sum()) == len(an.nodes)
+
+
+def test_path_dictionary(an):
+    pd_dict = an.to_path_dictionary()
+    for name, blocks in pd_dict.items():
+        assert len(blocks) == len(an.path_by_name(name).nodes)
+
+
+def test_pairwise_accessory(an):
+    df = an.pairwise_accessory_genome_comparison()
+    s = an.strains()
+    assert df.loc[(s[0], s[0]), "diff"] == 0
+    assert df.loc[(s[0], s[1]), "shared"] == df.loc[(s[1], s[0]), "shared"]
+
+
+def test_core_genome_alignment(an):
+    aln = an.core_genome_alignment(guide_strain=an.strains()[0])
+    lengths = {len(v) for v in aln.values()}
+    assert len(lengths) == 1  # aligned: uniform
+    assert lengths.pop() > 0
+
+
+def test_walks(an):
+    walks = pangraph_to_walks(an)
+    assert set(walks) == set(an.strains())
+    for name, w in walks.items():
+        assert len(w) == len(an.path_by_name(name).nodes)
+        assert w.circular == an.path_by_name(name).circular
+
+
+def test_oriented_block_roundtrip():
+    ob = OrientedBlock(1234, False)
+    assert OrientedBlock.from_str_id(ob.to_str_id()) == ob
+    e = Edge(OrientedBlock(1, True), OrientedBlock(2, False))
+    assert Edge.from_str_id(e.to_str_id()) == e
+    assert e == e.invert()
+
+
+def test_walk_rotation_and_inversion():
+    obs = [OrientedBlock(i, True) for i in range(4)]
+    w = Walk(obs, circular=True)
+    r = w.rotate_to(2, True)
+    assert [ob.id for ob in r.oriented_blocks] == [2, 3, 0, 1]
+    r2 = w.rotate_to(2, False)  # present only in inverted orientation
+    assert r2.oriented_blocks[0] == OrientedBlock(2, False)
+    assert w.invert().invert() == w
+
+
+def test_junction_split_circular():
+    # path: C1 a C2 b c | circular; core = C1, C2
+    obs = [
+        OrientedBlock("C1", True),
+        OrientedBlock("a", True),
+        OrientedBlock("C2", True),
+        OrientedBlock("b", True),
+        OrientedBlock("c", False),
+    ]
+    juncs = path_junction_split(Walk(obs, circular=True), lambda b: b.startswith("C"))
+    assert len(juncs) == 2
+    # wrap junction C2 -> C1 contains b, c
+    wrap = juncs[0]
+    assert wrap.left == OrientedBlock("C2", True)
+    assert [ob.id for ob in wrap.center.oriented_blocks] == ["b", "c"]
+    assert wrap.right == OrientedBlock("C1", True)
+
+
+def test_junction_split_linear_terminal():
+    obs = [
+        OrientedBlock("x", True),
+        OrientedBlock("C1", True),
+        OrientedBlock("a", True),
+        OrientedBlock("C2", True),
+        OrientedBlock("y", True),
+    ]
+    juncs = path_junction_split(Walk(obs, circular=False), lambda b: b.startswith("C"))
+    assert juncs[0].left is None and juncs[-1].right is None
+
+
+def test_backbone_junctions(an):
+    bj = BackboneJunctions(an, L_thr=100)
+    edges = bj.edges()
+    assert edges
+    stats = bj.stats()
+    assert stats["n_isolates"].max() <= len(an.strains())
+    pos = bj.positions()
+    assert {"left_start", "right_end", "strand"} <= set(pos.columns)
+    seqs = bj.sequences(edges[0])
+    assert all(len(s) > 0 for s in seqs.values())
+
+
+def test_find_mergers_chain():
+    # two blocks always adjacent across two walks merge
+    w1 = Walk([OrientedBlock("A", True), OrientedBlock("B", True), OrientedBlock("C", True)], circular=False)
+    w2 = Walk([OrientedBlock("A", True), OrientedBlock("B", True)], circular=False)
+    m = find_mergers({"i1": w1, "i2": w2})
+    assert m["A"] == m["B"]
+    assert m["C"] != m["A"] or m["C"] == m["C"]
+
+
+def test_msu(an):
+    mergers, paths, lens = minimal_synteny_units(an, L_thr=100, rotate=all(p.circular for p in an.paths.values()))
+    assert set(paths) == set(an.strains())
+    assert all(name.startswith("MSU_") for name in lens)
+    # every path traverses every MSU exactly once (they are core)
+    for p in paths.values():
+        ids = [ob.id for ob in p.oriented_blocks]
+        assert sorted(ids) == sorted(set(lens))
+
+
+def test_walk_categories(an):
+    walks = pangraph_to_walks(an)
+    cats = walk_categories(walks)
+    assert sum(c for c, _, _ in cats) == len(an.strains())
