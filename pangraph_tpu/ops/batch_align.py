@@ -204,7 +204,7 @@ class TpuBatchAligner:
     # budget so each (R_cap, B) tier compiles exactly once
     R_TIERS = (4096, 32768, 262144, 2097152)
     TIER_BYTES = 256 * 1024 * 1024
-    use_fused = False  # fused path pending Pallas DP engine; chunked wins on the tunneled dev TPU
+    backend = "pallas"  # "pallas" | "fused" | "chunked"
 
     def _tier_batch(self, R_cap: int, B: int) -> int:
         m = max(self.TIER_BYTES // (R_cap * B), 1)
@@ -215,9 +215,79 @@ class TpuBatchAligner:
         return p
 
     def _run_round(self, jobs: list, widths: list):
-        if self.use_fused:
+        if self.backend == "pallas":
+            return self._run_round_pallas(jobs, widths)
+        if self.backend == "fused":
             return self._run_round_fused(jobs, widths)
         return self._run_round_chunked(jobs, widths)
+
+    def _run_round_pallas(self, jobs: list, widths: list):
+        from pangraph_tpu.ops.stripe_pallas import G, stripe_align_pallas
+
+        n = len(jobs)
+        edits = [None] * n
+        boundary = [False] * n
+        groups = {}
+        for i, W in enumerate(widths):
+            j = jobs[i]
+            # pure diagonal band: corner must be inside the band
+            W_eff = max(W, abs(len(j.qry) - len(j.ref) + j.band.mean_shift) + 1)
+            B = _bucket_b(W_eff)
+            C = max(256, B)
+            L = max(len(j.ref), len(j.qry))
+            tier = next((t for t in self.R_TIERS if t >= L + 2), None)
+            if tier is None or B > 1024:
+                edits[i] = self._host_fallback(j)
+                continue
+            groups.setdefault((tier, B, C), []).append(i)
+
+        for (R_cap, B, C), idxs in groups.items():
+            M = max((self._tier_batch(R_cap, B) // G) * G, G)
+            idxs = sorted(idxs, key=lambda i: -len(jobs[i].ref))
+            for c0 in range(0, len(idxs), M):
+                sub = idxs[c0 : c0 + M]
+                m_pad = ((len(sub) + G - 1) // G) * G
+                Wq = R_cap + C
+                ref_seq = np.zeros((m_pad, R_cap), dtype=np.uint8)
+                qry_seq = np.zeros((m_pad, Wq), dtype=np.uint8)
+                ref_mask = np.zeros((m_pad, R_cap), dtype=np.uint8)
+                qsh_mask = np.zeros((m_pad, Wq), dtype=np.uint8)
+                rlen = np.zeros(m_pad, dtype=np.int32)
+                qlen = np.zeros(m_pad, dtype=np.int32)
+                msv = np.zeros(m_pad, dtype=np.int32)
+                Wv = np.full(m_pad, (B - 2) // 2, dtype=np.int32)
+                for s, i in enumerate(sub):
+                    j = jobs[i]
+                    ref_seq[s, : len(j.ref)] = j.ref
+                    qry_seq[s, : len(j.qry)] = j.qry
+                    ref_mask[s, : len(j.ref)] = IUPAC_MASK[j.ref]
+                    rlen[s] = len(j.ref)
+                    qlen[s] = len(j.qry)
+                    msv[s] = j.band.mean_shift
+                    # pre-shifted query masks: qsh[t] = qry_mask[t - ms - W]
+                    # (kernel row r reads qsh[r + k] = qry_mask[qpos - 1])
+                    shift = int(msv[s]) + int(Wv[s])
+                    t0 = max(shift, 0)
+                    t1 = min(shift + len(j.qry), Wq)
+                    if t1 > t0:
+                        qsh_mask[s, t0:t1] = IUPAC_MASK[j.qry[t0 - shift : t1 - shift]]
+                gmax = rlen.reshape(-1, G).max(axis=1).astype(np.int32)
+                out = stripe_align_pallas(
+                    ref_seq, qry_seq, ref_mask, qsh_mask, rlen, qlen, msv, Wv, gmax, R_cap, B, C
+                )
+                out = {k: np.asarray(v) for k, v in out.items()}
+                for s, i in enumerate(sub):
+                    j = jobs[i]
+                    if out["overflow"][s]:
+                        boundary[i] = bool(out["boundary"][s])
+                        edits[i] = self._host_fallback(j)
+                        continue
+                    boundary[i] = bool(out["boundary"][s])
+                    edits[i] = _edit_from_rle(
+                        out["ops"][s], int(out["n_ops"][s]), out["subs"][s], int(out["n_subs"][s]),
+                        int(out["lead_ins"][s]), j.qry,
+                    )
+        return edits, boundary
 
     def _run_round_fused(self, jobs: list, widths: list):
         from pangraph_tpu.ops.stripe_fused import stripe_align_fused

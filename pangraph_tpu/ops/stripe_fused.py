@@ -153,7 +153,22 @@ def stripe_align_fused(
         0, n_blocks, dp_block, (H0, qgap0, lo0, jnp.zeros(m, jnp.int32), paths0)
     )
 
-    # ------------------------------------------------------------- traceback
+    return traceback_rle(paths, ref_seq, qry_seq, rlen, qlen, ms, W, B, MAX_OPS, MAX_SUBS, clamped=True)
+
+
+def traceback_rle(paths, ref_seq, qry_seq, rlen, qlen, ms, W, B: int, MAX_OPS: int, MAX_SUBS: int, clamped: bool):
+    """On-device traceback over banded path bits -> compact RLE results.
+
+    clamped=True uses the clip-dragged band of stripe_tpu.band_lo; False uses
+    the pure diagonal band (lo = i - ms - W) of the Pallas kernel."""
+    m = ref_seq.shape[0]
+    R_cap = paths.shape[1]
+
+    def lo_of(i):
+        if clamped:
+            return jax.vmap(lambda ii, s, w, ql: band_lo(ii, s, w, ql, B))(i, ms, W, qlen)
+        return i - ms - W
+
     # state per problem
     i0 = rlen
     q0 = qlen
@@ -173,7 +188,7 @@ def stripe_align_fused(
     def _tb_move(st):
         i, q = st["i"], st["q"]
         active = ~st["done"]
-        lo_i = jax.vmap(lambda ii, s, w, ql: band_lo(ii, s, w, ql, B))(i, ms, W, qlen)
+        lo_i = lo_of(i)
         kk = q - lo_i
         in_band = (kk >= 0) & (kk < B) & (i >= 1)
         bits = paths[jnp.arange(m), jnp.maximum(i - 1, 0), jnp.clip(kk, 0, B - 1)].astype(jnp.int32)
