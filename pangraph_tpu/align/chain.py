@@ -42,6 +42,14 @@ def chain_anchors(rpos: np.ndarray, qpos: np.ndarray, p: ChainParams):
     r = rpos[order].astype(np.int64)
     q = qpos[order].astype(np.int64)
 
+    # native C++ DP when available (pangraph_tpu.native)
+    from pangraph_tpu.native import chain_dp_native
+
+    native = chain_dp_native(r, q, p.k, p.max_gap, p.bw, p.window)
+    if native is not None:
+        f, parent = native
+        return _extract_chains(f, parent, order, p)
+
     H = min(p.window, n)
     # predecessor index matrix (N, H): j = i - 1 - h
     idx = np.arange(n)[:, None] - 1 - np.arange(H)[None, :]
@@ -70,7 +78,12 @@ def chain_anchors(rpos: np.ndarray, qpos: np.ndarray, p: ChainParams):
             f[i] = best
             parent[i] = idx_c[i][best_h]
 
-    # extract chains by descending peak score
+    return _extract_chains(f, parent, order, p)
+
+
+def _extract_chains(f, parent, order, p: ChainParams):
+    """Chains by descending peak score with used-anchor masking."""
+    n = len(f)
     peaks = np.argsort(-f, kind="stable")
     used = np.zeros(n, dtype=bool)
     chains, scores = [], []

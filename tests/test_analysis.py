@@ -160,3 +160,29 @@ def test_walk_categories(an):
     walks = pangraph_to_walks(an)
     cats = walk_categories(walks)
     assert sum(c for c, _, _ in cats) == len(an.strains())
+
+
+def test_native_chain_matches_numpy():
+    import numpy as np
+
+    import pangraph_tpu.native as nat
+    from pangraph_tpu.align.chain import ChainParams, chain_anchors
+
+    p = ChainParams(min_score=40)
+    rng = np.random.default_rng(5)
+    base = np.sort(rng.integers(0, 100000, 2000))
+    rpos = base + rng.integers(-2, 2, 2000)
+    qpos = base + rng.integers(-2, 2, 2000) + 50
+    lib, tried = nat._LIB, nat._TRIED
+    try:
+        nat._LIB, nat._TRIED = None, True  # force numpy
+        c1, s1 = chain_anchors(rpos, qpos, p)
+    finally:
+        nat._LIB, nat._TRIED = lib, tried
+    if nat.get_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    c2, s2 = chain_anchors(rpos, qpos, p)
+    assert s1 == s2
+    assert all((a == b).all() for a, b in zip(c1, c2))
