@@ -18,6 +18,29 @@ Reference behavior is documented against /root/reference file:line in docstrings
 
 __version__ = "0.1.0"
 
+
+def _setup_jax_compilation_cache():
+    """Persistent XLA compilation cache: the bucketed kernel tiers compile once
+    per (R_cap, B, batch) shape; caching across processes turns ~40 s TPU
+    compiles into millisecond disk hits on every later run."""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "PANGRAPH_TPU_JAX_CACHE", os.path.expanduser("~/.cache/pangraph_tpu/jax")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_setup_jax_compilation_cache()
+
 from pangraph_tpu.graph.graph import Pangraph
 from pangraph_tpu.graph.edits import Edit, Sub, Del, Ins
 

@@ -45,6 +45,10 @@ class BuildArgs:
     max_alignment_attempts: int = 4
     verify: bool = False
     guide_tree: str = None
+    # host worker threads for independent guide-tree merges (reference keeps
+    # the merge schedule sequential, build_run.rs:111; we re-enable the
+    # tree-level parallelism its tree/balance.rs left disabled)
+    jobs: int = 1
     aln_args: AlignmentArgs = field(default_factory=AlignmentArgs)
     banded_params: BandedAlignParams = field(default_factory=BandedAlignParams)
 

@@ -54,23 +54,71 @@ def build(records, args: BuildArgs, aligner=None, find_matches_override=None) ->
     if tree.is_leaf():
         return graphs[tree.data]
 
-    n_merges = sum(1 for c in tree.postorder() if not c.is_leaf())
-    done = 0
-    for clade in tree.postorder():
-        if clade.is_leaf():
-            clade.data = graphs[clade.data]
-            continue
-        left, right = clade.left.data, clade.right.data
-        log.info("merging graphs (%d + %d paths)", len(left.paths), len(right.paths))
-        clade.data = merge_graphs(left, right, args, find_matches, aligner)
-        clade.left.data = clade.right.data = None  # free child graphs
-        done += 1
-        log.info("merge %d/%d complete -> %d blocks", done, n_merges, len(clade.data.blocks))
-
-    graph = tree.data
+    jobs = args.jobs or 1
+    if jobs > 1:
+        graph = _merge_tree_parallel(tree, graphs, args, find_matches, aligner, jobs)
+    else:
+        n_merges = sum(1 for c in tree.postorder() if not c.is_leaf())
+        done = 0
+        for clade in tree.postorder():
+            if clade.is_leaf():
+                clade.data = graphs[clade.data]
+                continue
+            left, right = clade.left.data, clade.right.data
+            log.info("merging graphs (%d + %d paths)", len(left.paths), len(right.paths))
+            clade.data = merge_graphs(left, right, args, find_matches, aligner)
+            clade.left.data = clade.right.data = None  # free child graphs
+            done += 1
+            log.info("merge %d/%d complete -> %d blocks", done, n_merges, len(clade.data.blocks))
+        graph = tree.data
     if args.verify:
         verify_roundtrip(graph, records)
     return graph
+
+
+def _merge_tree_parallel(tree, graphs, args, find_matches, aligner, jobs: int):
+    """Dependency-driven merge schedule: independent guide-tree nodes run on a
+    host thread pool, so one merge's host bookkeeping (reweave, reconsensus
+    interval arithmetic) overlaps another's device alignment batches. The
+    balanced guide tree (tree.balance_tree) gives ~n/2 independent merges at
+    the bottom level. This re-enables the parallelism the reference disabled
+    (tree/balance.rs:6, neighbor_joining.rs:30-31)."""
+    import concurrent.futures as cf
+
+    for c in tree.postorder():
+        if c.is_leaf():
+            c.data = graphs[c.data]
+    internals = [c for c in tree.postorder() if not c.is_leaf()]
+    parent = {}
+    pending = {}
+    for c in internals:
+        pending[id(c)] = sum(1 for ch in (c.left, c.right) if not ch.is_leaf())
+        for ch in (c.left, c.right):
+            parent[id(ch)] = c
+    n_merges = len(internals)
+    done = 0
+
+    def run(c):
+        g = merge_graphs(c.left.data, c.right.data, args, find_matches, aligner)
+        c.left.data = c.right.data = None
+        c.data = g
+        return c
+
+    with cf.ThreadPoolExecutor(max_workers=jobs) as ex:
+        futures = {ex.submit(run, c): c for c in internals if pending[id(c)] == 0}
+        while futures:
+            finished, _ = cf.wait(list(futures), return_when=cf.FIRST_COMPLETED)
+            for f in finished:
+                futures.pop(f)
+                c = f.result()
+                done += 1
+                log.info("merge %d/%d complete -> %d blocks", done, n_merges, len(c.data.blocks))
+                p = parent.get(id(c))
+                if p is not None:
+                    pending[id(p)] -= 1
+                    if pending[id(p)] == 0:
+                        futures[ex.submit(run, p)] = p
+    return tree.data
 
 
 def verify_roundtrip(graph: Pangraph, records) -> None:

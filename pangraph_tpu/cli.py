@@ -146,6 +146,7 @@ def _cmd_build(args) -> int:
         max_alignment_attempts=args.max_alignment_attempts,
         verify=args.verify,
         guide_tree=args.guide_tree,
+        jobs=args.jobs or 1,
         aln_args=AlignmentArgs(
             indel_len_threshold=args.indel_len_threshold,
             alpha=args.alpha,
@@ -161,11 +162,22 @@ def _cmd_build(args) -> int:
 
     aligner = None
     if not args.no_tpu:
-        from pangraph_tpu.ops.batch_align import TpuBatchAligner
+        try:
+            import jax
 
-        aligner = TpuBatchAligner(
-            build_args.banded_params, build_args.extra_band_width, build_args.max_alignment_attempts
-        )
+            jax.devices()  # probe: backend claim can fail transiently (tunnel)
+        except Exception as e:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "no usable JAX backend (%s); falling back to the host aligner", e
+            )
+        else:
+            from pangraph_tpu.ops.batch_align import TpuBatchAligner
+
+            aligner = TpuBatchAligner(
+                build_args.banded_params, build_args.extra_band_width, build_args.max_alignment_attempts
+            )
     recs = read_fasta(args.input_fastas)
     if args.alignment_kernel == "mmseqs":
         from pangraph_tpu.align.mmseqs import make_mmseqs_find_matches

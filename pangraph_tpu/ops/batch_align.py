@@ -142,6 +142,52 @@ def backtrace_band(paths: np.ndarray, ref: np.ndarray, qry: np.ndarray, ms: int,
     return Edit(subs=subs, dels=dels, inss=inss), hit_boundary
 
 
+def _cover_pow2(n: int, cap: int) -> int:
+    k = 16
+    while k < n:
+        k *= 2
+    return min(k, cap)
+
+
+def _pack_payload(ops, subs, ops_k: int, subs_k: int):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("ok", "sk"))
+    def pack(ops, subs, ok, sk):
+        m = ops.shape[0]
+        a = jax.lax.slice_in_dim(ops, 0, ok, axis=1).reshape(m, -1)
+        b = jax.lax.slice_in_dim(subs, 0, sk, axis=1).reshape(m, -1)
+        return jnp.concatenate([a, b], axis=1)
+
+    return pack(ops, subs, ops_k, subs_k)
+
+
+def _fetch_trimmed(out: dict) -> dict:
+    """Device->host fetch of the aligner's compact outputs in exactly two
+    transfers: the packed per-problem meta row, then one buffer holding the
+    ops/subs payloads trimmed on device to a power-of-two cover of the actual
+    counts. The tunnel's D2H cost is ~50 ms latency per transfer, so transfer
+    count — not bytes — is what matters for these small results."""
+    meta = np.asarray(out["meta"])  # [m, 5]: n_ops, n_subs, lead_ins, boundary, overflow
+    n_ops, n_subs = meta[:, 0], meta[:, 1]
+    ops_k = _cover_pow2(int(n_ops.max(initial=0)), out["ops"].shape[1])
+    subs_k = _cover_pow2(int(n_subs.max(initial=0)), out["subs"].shape[1])
+    payload = np.asarray(_pack_payload(out["ops"], out["subs"], ops_k, subs_k))
+    m = payload.shape[0]
+    return {
+        "n_ops": n_ops,
+        "n_subs": n_subs,
+        "lead_ins": meta[:, 2],
+        "boundary": meta[:, 3].astype(bool),
+        "overflow": meta[:, 4].astype(bool),
+        "ops": payload[:, : ops_k * 2].reshape(m, ops_k, 2),
+        "subs": payload[:, ops_k * 2 :].reshape(m, subs_k, 2),
+    }
+
+
 def _edit_from_rle(ops, n_ops, subs, n_subs, lead_ins, qry) -> Edit:
     """Build an Edit from the fused kernel's compact outputs. ops are emitted
     end-to-start; subs carry absolute ref positions + query chars."""
@@ -202,7 +248,7 @@ class TpuBatchAligner:
     MAX_SUB_BATCH = 128
     # fused-kernel tiers: R_cap ladder; batch size derived from a paths-buffer
     # budget so each (R_cap, B) tier compiles exactly once
-    R_TIERS = (4096, 32768, 262144, 2097152)
+    R_TIERS = (4096, 16384, 65536, 262144, 1048576, 4194304)
     TIER_BYTES = 256 * 1024 * 1024
     backend = "pallas"  # "pallas" | "fused" | "chunked"
 
@@ -241,6 +287,10 @@ class TpuBatchAligner:
                 continue
             groups.setdefault((tier, B, C), []).append(i)
 
+        # phase 1: dispatch every tier batch (async); phase 2: fetch + decode.
+        # Dispatches queue on device, so later batches compute while earlier
+        # results cross the slow D2H link.
+        launched = []
         for (R_cap, B, C), idxs in groups.items():
             M = max((self._tier_batch(R_cap, B) // G) * G, G)
             idxs = sorted(idxs, key=lambda i: -len(jobs[i].ref))
@@ -250,8 +300,6 @@ class TpuBatchAligner:
                 Wq = R_cap + C
                 ref_seq = np.zeros((m_pad, R_cap), dtype=np.uint8)
                 qry_seq = np.zeros((m_pad, Wq), dtype=np.uint8)
-                ref_mask = np.zeros((m_pad, R_cap), dtype=np.uint8)
-                qsh_mask = np.zeros((m_pad, Wq), dtype=np.uint8)
                 rlen = np.zeros(m_pad, dtype=np.int32)
                 qlen = np.zeros(m_pad, dtype=np.int32)
                 msv = np.zeros(m_pad, dtype=np.int32)
@@ -260,33 +308,25 @@ class TpuBatchAligner:
                     j = jobs[i]
                     ref_seq[s, : len(j.ref)] = j.ref
                     qry_seq[s, : len(j.qry)] = j.qry
-                    ref_mask[s, : len(j.ref)] = IUPAC_MASK[j.ref]
                     rlen[s] = len(j.ref)
                     qlen[s] = len(j.qry)
                     msv[s] = j.band.mean_shift
-                    # pre-shifted query masks: qsh[t] = qry_mask[t - ms - W]
-                    # (kernel row r reads qsh[r + k] = qry_mask[qpos - 1])
-                    shift = int(msv[s]) + int(Wv[s])
-                    t0 = max(shift, 0)
-                    t1 = min(shift + len(j.qry), Wq)
-                    if t1 > t0:
-                        qsh_mask[s, t0:t1] = IUPAC_MASK[j.qry[t0 - shift : t1 - shift]]
                 gmax = rlen.reshape(-1, G).max(axis=1).astype(np.int32)
-                out = stripe_align_pallas(
-                    ref_seq, qry_seq, ref_mask, qsh_mask, rlen, qlen, msv, Wv, gmax, R_cap, B, C
-                )
-                out = {k: np.asarray(v) for k, v in out.items()}
-                for s, i in enumerate(sub):
-                    j = jobs[i]
-                    if out["overflow"][s]:
-                        boundary[i] = bool(out["boundary"][s])
-                        edits[i] = self._host_fallback(j)
-                        continue
+                out = stripe_align_pallas(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, C)
+                launched.append((sub, out))
+        for sub, out in launched:
+            out = _fetch_trimmed(out)
+            for s, i in enumerate(sub):
+                j = jobs[i]
+                if out["overflow"][s]:
                     boundary[i] = bool(out["boundary"][s])
-                    edits[i] = _edit_from_rle(
-                        out["ops"][s], int(out["n_ops"][s]), out["subs"][s], int(out["n_subs"][s]),
-                        int(out["lead_ins"][s]), j.qry,
-                    )
+                    edits[i] = self._host_fallback(j)
+                    continue
+                boundary[i] = bool(out["boundary"][s])
+                edits[i] = _edit_from_rle(
+                    out["ops"][s], int(out["n_ops"][s]), out["subs"][s], int(out["n_subs"][s]),
+                    int(out["lead_ins"][s]), j.qry,
+                )
         return edits, boundary
 
     def _run_round_fused(self, jobs: list, widths: list):
@@ -330,7 +370,7 @@ class TpuBatchAligner:
                     qlen[s] = len(j.qry)
                     msv[s] = j.band.mean_shift
                 out = stripe_align_fused(ref_seq, qry_seq, ref_mask, qry_mask, rlen, qlen, msv, Wv, R_cap, B)
-                out = {k: np.asarray(v) for k, v in out.items()}
+                out = _fetch_trimmed(out)
                 for s, i in enumerate(sub):
                     j = jobs[i]
                     if out["overflow"][s]:

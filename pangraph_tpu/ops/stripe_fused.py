@@ -293,12 +293,21 @@ def traceback_rle(paths, ref_seq, qry_seq, rlen, qlen, ms, W, B: int, MAX_OPS: i
     st = jax.lax.while_loop(tb_cond, tb_body, st)
     not_finished = ~st["done"]
 
+    boundary = st["boundary"] | st["dead"] | not_finished
+    overflow = st["overflow"] | st["dead"] | not_finished
+    # meta [m, 5]: one D2H transfer carries all per-problem scalars (the
+    # tunnel's ~50 ms per-transfer latency dominates small fetches)
+    meta = jnp.stack(
+        [st["n_ops"], st["n_subs"], st["lead_ins"], boundary.astype(jnp.int32), overflow.astype(jnp.int32)],
+        axis=1,
+    )
     return {
         "ops": st["ops"],
         "n_ops": st["n_ops"],
         "subs": st["subs"],
         "n_subs": st["n_subs"],
         "lead_ins": st["lead_ins"],
-        "boundary": st["boundary"] | st["dead"] | not_finished,
-        "overflow": st["overflow"] | st["dead"] | not_finished,
+        "boundary": boundary,
+        "overflow": overflow,
+        "meta": meta,
     }

@@ -200,12 +200,27 @@ def _stripe_kernel(
 
 @functools.partial(jax.jit, static_argnames=("R_cap", "B", "C", "MAX_OPS", "MAX_SUBS"))
 def stripe_align_pallas(
-    ref_seq, qry_seq, ref_mask, qsh_mask, rlen, qlen, ms, W, gmax,
+    ref_seq, qry_seq, rlen, qlen, ms, W, gmax,
     R_cap: int, B: int, C: int = 256, MAX_OPS: int = 1024, MAX_SUBS: int = 8192,
 ):
-    """Pallas DP + on-device traceback, one jit. Inputs as stripe_dp_pallas;
-    ref_seq/qry_seq are raw uint8 sequences for substitution detection."""
+    """Pallas DP + on-device traceback, one jit.
+
+    Only raw uint8 sequences cross the host boundary; IUPAC masks and the
+    pre-shifted query buffer are computed on device (halves H2D traffic).
+    ref_seq [m, R_cap]; qry_seq [m, R_cap + C]."""
+    from pangraph_tpu.graph.seq import IUPAC_MASK
     from pangraph_tpu.ops.stripe_fused import traceback_rle
+
+    m, Wq = qry_seq.shape
+    iupac = jnp.asarray(IUPAC_MASK)
+    ref_mask = jnp.take(iupac, ref_seq.astype(jnp.int32), mode="clip")
+    qry_mask = jnp.take(iupac, qry_seq.astype(jnp.int32), mode="clip")
+    # qsh[t] = qry_mask[t - ms - W], zeros outside [shift, shift + qlen)
+    shift = ms + W  # [m]
+    t = jnp.arange(Wq, dtype=jnp.int32)[None, :]
+    rolled = jax.vmap(lambda row, s: jnp.roll(row, s))(qry_mask, shift)
+    valid = (t >= shift[:, None]) & (t < shift[:, None] + qlen[:, None])
+    qsh_mask = jnp.where(valid, rolled, 0).astype(jnp.uint8)
 
     paths = stripe_dp_pallas(ref_mask, qsh_mask, rlen, qlen, ms, W, gmax, R_cap, B, C)
     return traceback_rle(paths, ref_seq, qry_seq, rlen, qlen, ms, W, B, MAX_OPS, MAX_SUBS, clamped=False)
