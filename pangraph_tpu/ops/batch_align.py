@@ -165,6 +165,53 @@ def _pack_payload(ops, subs, ops_k: int, subs_k: int):
     return pack(ops, subs, ops_k, subs_k)
 
 
+def _pack_payload3(subs, dels, inss, sk: int, dk: int, ik: int):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("sk", "dk", "ik"))
+    def pack(subs, dels, inss, sk, dk, ik):
+        m = subs.shape[0]
+        a = jax.lax.slice_in_dim(subs, 0, sk, axis=1).reshape(m, -1)
+        b = jax.lax.slice_in_dim(dels, 0, dk, axis=1).reshape(m, -1)
+        c = jax.lax.slice_in_dim(inss, 0, ik, axis=1).reshape(m, -1)
+        return jnp.concatenate([a, b, c], axis=1)
+
+    return pack(subs, dels, inss, sk, dk, ik)
+
+
+def _fetch_lists(out: dict) -> dict:
+    """Two-transfer fetch of the edit-list outputs (subs/dels/inss + meta)."""
+    meta = np.asarray(out["meta"])  # [m, 6]: n_subs, n_dels, n_inss, lead, boundary, overflow
+    sk = _cover_pow2(int(meta[:, 0].max(initial=0)), out["subs"].shape[1])
+    dk = _cover_pow2(int(meta[:, 1].max(initial=0)), out["dels"].shape[1])
+    ik = _cover_pow2(int(meta[:, 2].max(initial=0)), out["inss"].shape[1])
+    payload = np.asarray(_pack_payload3(out["subs"], out["dels"], out["inss"], sk, dk, ik))
+    m = payload.shape[0]
+    return {
+        "meta": meta,
+        "subs": payload[:, : sk * 2].reshape(m, sk, 2),
+        "dels": payload[:, sk * 2 : sk * 2 + dk * 2].reshape(m, dk, 2),
+        "inss": payload[:, sk * 2 + dk * 2 :].reshape(m, ik, 3),
+    }
+
+
+def _edit_from_lists(out: dict, s: int, qry: np.ndarray) -> Edit:
+    """Assemble an Edit from the decoded per-problem edit lists."""
+    meta = out["meta"][s]
+    n_subs, n_dels, n_inss, lead = int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3])
+    subs = [Sub(int(p), chr(int(c))) for p, c in out["subs"][s, :n_subs]]
+    dels = [Del(int(p), int(ln)) for p, ln in out["dels"][s, :n_dels]]
+    inss = []
+    if lead:
+        inss.append(Ins(0, bytes(qry[:lead]).decode()))
+    for p, qs, ln in out["inss"][s, :n_inss]:
+        inss.append(Ins(int(p), bytes(qry[int(qs) : int(qs) + int(ln)]).decode()))
+    return Edit(subs=subs, dels=dels, inss=inss)
+
+
 def _fetch_trimmed(out: dict) -> dict:
     """Device->host fetch of the aligner's compact outputs in exactly two
     transfers: the packed per-problem meta row, then one buffer holding the
@@ -315,18 +362,14 @@ class TpuBatchAligner:
                 out = stripe_align_pallas(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, C)
                 launched.append((sub, out))
         for sub, out in launched:
-            out = _fetch_trimmed(out)
+            out = _fetch_lists(out)
             for s, i in enumerate(sub):
                 j = jobs[i]
-                if out["overflow"][s]:
-                    boundary[i] = bool(out["boundary"][s])
+                boundary[i] = bool(out["meta"][s, 4])
+                if out["meta"][s, 5]:  # overflow / dead walk
                     edits[i] = self._host_fallback(j)
                     continue
-                boundary[i] = bool(out["boundary"][s])
-                edits[i] = _edit_from_rle(
-                    out["ops"][s], int(out["n_ops"][s]), out["subs"][s], int(out["n_subs"][s]),
-                    int(out["lead_ins"][s]), j.qry,
-                )
+                edits[i] = _edit_from_lists(out, s, j.qry)
         return edits, boundary
 
     def _run_round_fused(self, jobs: list, widths: list):

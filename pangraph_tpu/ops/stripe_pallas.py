@@ -198,18 +198,19 @@ def _stripe_kernel(
         paths_ref[:] = jnp.zeros((G, C, B), dtype=jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("R_cap", "B", "C", "MAX_OPS", "MAX_SUBS"))
+@functools.partial(jax.jit, static_argnames=("R_cap", "B", "C", "MAX_SUBS", "MAX_DELS", "MAX_INS"))
 def stripe_align_pallas(
     ref_seq, qry_seq, rlen, qlen, ms, W, gmax,
-    R_cap: int, B: int, C: int = 256, MAX_OPS: int = 1024, MAX_SUBS: int = 8192,
+    R_cap: int, B: int, C: int = 256, MAX_SUBS: int = 8192, MAX_DELS: int = 4096, MAX_INS: int = 4096,
 ):
-    """Pallas DP + on-device traceback, one jit.
+    """Pallas DP + Pallas traceback + vectorized edit-list decode, one jit.
 
     Only raw uint8 sequences cross the host boundary; IUPAC masks and the
     pre-shifted query buffer are computed on device (halves H2D traffic).
-    ref_seq [m, R_cap]; qry_seq [m, R_cap + C]."""
+    ref_seq [m, R_cap]; qry_seq [m, R_cap + C]. Returns compact per-problem
+    edit lists (see traceback_pallas.decode_records)."""
     from pangraph_tpu.graph.seq import IUPAC_MASK
-    from pangraph_tpu.ops.stripe_fused import traceback_rle
+    from pangraph_tpu.ops.traceback_pallas import traceback_lists
 
     m, Wq = qry_seq.shape
     iupac = jnp.asarray(IUPAC_MASK)
@@ -223,7 +224,9 @@ def stripe_align_pallas(
     qsh_mask = jnp.where(valid, rolled, 0).astype(jnp.uint8)
 
     paths = stripe_dp_pallas(ref_mask, qsh_mask, rlen, qlen, ms, W, gmax, R_cap, B, C)
-    return traceback_rle(paths, ref_seq, qry_seq, rlen, qlen, ms, W, B, MAX_OPS, MAX_SUBS, clamped=False)
+    return traceback_lists(
+        paths, ref_seq, qry_seq, rlen, qlen, ms, W, R_cap, B, MAX_SUBS, MAX_DELS, MAX_INS
+    )
 
 
 def stripe_dp_pallas(ref_mask, qsh_mask, rlen, qlen, ms, W, gmax, R_cap: int, B: int, C: int = 256):
