@@ -23,7 +23,7 @@ import numpy as np
 from pangraph_tpu.align.alignment import Alignment, Hit
 from pangraph_tpu.align.chain import ChainParams, chain_anchors, split_chain_at_jumps
 from pangraph_tpu.align.cigar import cigar_from_aligned_pair, collapse_cigar
-from pangraph_tpu.align.minimizer import Minimizers, sketch
+from pangraph_tpu.align.minimizer import Minimizers, sketch_cached as sketch
 from pangraph_tpu.align.params import BandedAlignParams
 from pangraph_tpu.align.stripe import align_banded
 from pangraph_tpu.graph.seq import GAP, as_seq, revcomp

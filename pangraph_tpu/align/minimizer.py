@@ -83,6 +83,26 @@ class Minimizers:
     strands: np.ndarray  # uint8: 0 fwd, 1 rev
 
 
+_SKETCH_CACHE: dict = {}
+_SKETCH_CACHE_MAX = 4096
+
+
+def sketch_cached(seq: np.ndarray, k: int, w: int) -> Minimizers:
+    """Content-keyed sketch cache. Block consensuses recur across self-merge
+    rounds and across guide-tree merges, so re-sketching dominates host time
+    without this (the reference re-indexes every round too, but its C sketch
+    is ~10x faster than the numpy one)."""
+    key = (hash(seq.tobytes()), len(seq), k, w)
+    hit = _SKETCH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    mm = sketch(seq, k, w)
+    if len(_SKETCH_CACHE) >= _SKETCH_CACHE_MAX:
+        _SKETCH_CACHE.clear()
+    _SKETCH_CACHE[key] = mm
+    return mm
+
+
 def sketch(seq: np.ndarray, k: int, w: int) -> Minimizers:
     """(w,k)-minimizer sketch with canonical strand and invalid-base masking."""
     fwd, rev, valid = kmer_codes(seq, k)

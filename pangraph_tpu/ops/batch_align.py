@@ -165,7 +165,7 @@ def _pack_payload(ops, subs, ops_k: int, subs_k: int):
     return pack(ops, subs, ops_k, subs_k)
 
 
-def _pack_payload3(subs, dels, inss, sk: int, dk: int, ik: int):
+def _pack3_jit():
     import functools
 
     import jax
@@ -179,7 +179,89 @@ def _pack_payload3(subs, dels, inss, sk: int, dk: int, ik: int):
         c = jax.lax.slice_in_dim(inss, 0, ik, axis=1).reshape(m, -1)
         return jnp.concatenate([a, b, c], axis=1)
 
-    return pack(subs, dels, inss, sk, dk, ik)
+    return pack
+
+
+def _pack_mp_jit():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("sk", "dk", "ik"))
+    def pack(meta, subs, dels, inss, sk, dk, ik):
+        m = meta.shape[0]
+        a = jax.lax.slice_in_dim(subs, 0, sk, axis=1).reshape(m, -1)
+        b = jax.lax.slice_in_dim(dels, 0, dk, axis=1).reshape(m, -1)
+        c = jax.lax.slice_in_dim(inss, 0, ik, axis=1).reshape(m, -1)
+        return jnp.concatenate([meta, a, b, c], axis=1)
+
+    return pack
+
+
+_PACK3 = None
+_PACK_MP = None
+_PACK_V2 = None
+
+
+def _pack_v2_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pack(meta, n_events, rows, words):
+        return jnp.concatenate([meta, n_events[:, None], rows, words], axis=1)
+
+    return pack
+
+
+def _pack_v2(out: dict):
+    """One int32 buffer [m, 4 + 1 + 2K] per batch: meta | n_events | rows |
+    words — so a whole round's v2 results cross D2H in one device_get."""
+    global _PACK_V2
+    if _PACK_V2 is None:
+        _PACK_V2 = _pack_v2_jit()
+    return _PACK_V2(out["meta"], out["n_events"], out["rows"], out["words"])
+
+
+def _pack_payload3(subs, dels, inss, sk: int, dk: int, ik: int):
+    global _PACK3
+    if _PACK3 is None:
+        _PACK3 = _pack3_jit()
+    return _PACK3(subs, dels, inss, sk=sk, dk=dk, ik=ik)
+
+
+def _pack_meta_payload(out: dict, sk: int, dk: int, ik: int):
+    """Device-side pack of meta + trimmed edit lists into ONE buffer
+    [m, 6 + sk*2 + dk*2 + ik*3] so a whole round's results cross the
+    D2H link in a single jax.device_get (the tunnel costs ~36 ms latency
+    per transfer round-trip, so transfer count dominates for small results)."""
+    global _PACK_MP
+    if _PACK_MP is None:
+        _PACK_MP = _pack_mp_jit()
+    return _PACK_MP(out["meta"], out["subs"], out["dels"], out["inss"], sk=sk, dk=dk, ik=ik)
+
+
+def _unpack_meta_payload(buf: np.ndarray, sk: int, dk: int, ik: int) -> dict:
+    m = buf.shape[0]
+    o = 6
+    return {
+        "meta": buf[:, :o],
+        "subs": buf[:, o : o + sk * 2].reshape(m, sk, 2),
+        "dels": buf[:, o + sk * 2 : o + sk * 2 + dk * 2].reshape(m, dk, 2),
+        "inss": buf[:, o + sk * 2 + dk * 2 :].reshape(m, ik, 3),
+    }
+
+
+def _predict_caps(jobs: list, sub_cap: int, del_cap: int, ins_cap: int):
+    """Heuristic per-batch trim caps: edits scale with length x divergence
+    (closely related genomes, ~1-2%; budget ~12%). Overflows trigger an
+    exact re-fetch, so this only trades bytes vs. a rare second transfer."""
+    max_len = max((max(len(j.ref), len(j.qry)) for j in jobs), default=1)
+    sk = _cover_pow2(64 + max_len // 8, sub_cap)
+    dk = _cover_pow2(16 + max_len // 64, del_cap)
+    ik = _cover_pow2(16 + max_len // 64, ins_cap)
+    return sk, dk, ik
 
 
 def _fetch_lists(out: dict) -> dict:
@@ -297,7 +379,8 @@ class TpuBatchAligner:
     # budget so each (R_cap, B) tier compiles exactly once
     R_TIERS = (4096, 16384, 65536, 262144, 1048576, 4194304)
     TIER_BYTES = 256 * 1024 * 1024
-    backend = "pallas"  # "pallas" | "fused" | "chunked"
+    V2_BYTES = 2 * 1024 * 1024 * 1024  # paths-buffer budget for the v2 kernel
+    backend = "v2"  # "v2" | "pallas" | "fused" | "chunked"
 
     def _tier_batch(self, R_cap: int, B: int) -> int:
         m = max(self.TIER_BYTES // (R_cap * B), 1)
@@ -308,11 +391,84 @@ class TpuBatchAligner:
         return p
 
     def _run_round(self, jobs: list, widths: list):
+        if self.backend == "v2":
+            return self._run_round_v2(jobs, widths)
         if self.backend == "pallas":
             return self._run_round_pallas(jobs, widths)
         if self.backend == "fused":
             return self._run_round_fused(jobs, widths)
         return self._run_round_chunked(jobs, widths)
+
+    def _run_round_v2(self, jobs: list, widths: list):
+        """v2 kernel round: static-op DP + run-jump walk + event compaction.
+        One device_get moves every batch's packed results (meta + event
+        rows/words) across the D2H link; decode is host-side RLE + vectorized
+        sub extraction (ops/stripe_v2.py)."""
+        import jax
+
+        from pangraph_tpu.ops.stripe_v2 import G, edit_from_events, stripe_align_v2
+
+        n = len(jobs)
+        edits = [None] * n
+        boundary = [False] * n
+        groups = {}
+        for i, W in enumerate(widths):
+            j = jobs[i]
+            W_eff = max(W, abs(len(j.qry) - len(j.ref) + j.band.mean_shift) + 1)
+            B = _bucket_b(W_eff)
+            L = max(len(j.ref), len(j.qry))
+            tier = next((t for t in self.R_TIERS if t >= L + 2 and t % B == 0), None)
+            if tier is None or B > 1024:
+                edits[i] = self._host_fallback(j)
+                continue
+            groups.setdefault((tier, B), []).append(i)
+
+        launched = []
+        for (R_cap, B), idxs in groups.items():
+            M = max((self.V2_BYTES // (R_cap * B * 4) // G) * G, G)
+            M = min(M, 128)
+            idxs = sorted(idxs, key=lambda i: -len(jobs[i].ref))
+            # event capacity: scale with problem size, pow2 ladder
+            for c0 in range(0, len(idxs), M):
+                sub = idxs[c0 : c0 + M]
+                m_pad = ((len(sub) + G - 1) // G) * G
+                max_len = max(max(len(jobs[i].ref), len(jobs[i].qry)) for i in sub)
+                K = _cover_pow2(max(512, 64 + max_len // 16), 8192)
+                Wq = R_cap + B
+                ref_seq = np.zeros((m_pad, R_cap), dtype=np.uint8)
+                qry_seq = np.zeros((m_pad, Wq), dtype=np.uint8)
+                rlen = np.zeros(m_pad, dtype=np.int32)
+                qlen = np.zeros(m_pad, dtype=np.int32)
+                msv = np.zeros(m_pad, dtype=np.int32)
+                Wv = np.full(m_pad, (B - 2) // 2, dtype=np.int32)
+                for s, i in enumerate(sub):
+                    j = jobs[i]
+                    ref_seq[s, : len(j.ref)] = j.ref
+                    qry_seq[s, : len(j.qry)] = j.qry
+                    rlen[s] = len(j.ref)
+                    qlen[s] = len(j.qry)
+                    msv[s] = j.band.mean_shift
+                gmax = rlen.reshape(-1, G).max(axis=1).astype(np.int32)
+                out = stripe_align_v2(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K)
+                packed = _pack_v2(out)
+                launched.append((sub, K, packed))
+
+        bufs = jax.device_get([p for _, _, p in launched])
+        for (sub, K, _), buf in zip(launched, bufs):
+            meta = buf[:, :4]
+            n_events = buf[:, 4]
+            rows = buf[:, 5 : 5 + K]
+            words = buf[:, 5 + K :]
+            for s, i in enumerate(sub):
+                j = jobs[i]
+                boundary[i] = bool(meta[s, 2])
+                edit, ok = edit_from_events(rows[s], words[s], n_events[s], meta[s], j.ref, j.qry)
+                if ok:
+                    edits[i] = edit
+                else:  # dead walk / event overflow (rare): host fallback
+                    boundary[i] = False
+                    edits[i] = self._host_fallback(j)
+        return edits, boundary
 
     def _run_round_pallas(self, jobs: list, widths: list):
         from pangraph_tpu.ops.stripe_pallas import G, stripe_align_pallas
@@ -360,16 +516,50 @@ class TpuBatchAligner:
                     msv[s] = j.band.mean_shift
                 gmax = rlen.reshape(-1, G).max(axis=1).astype(np.int32)
                 out = stripe_align_pallas(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, C)
-                launched.append((sub, out))
-        for sub, out in launched:
-            out = _fetch_lists(out)
+                caps = _predict_caps(
+                    [jobs[i] for i in sub], out["subs"].shape[1], out["dels"].shape[1], out["inss"].shape[1]
+                )
+                packed = _pack_meta_payload(out, *caps)
+                launched.append((sub, out, caps, packed))
+
+        # ONE device_get for the whole round: every batch's meta + payload,
+        # optimistically trimmed. Rows whose true counts exceed the predicted
+        # caps are re-fetched exactly (rare; costs one extra transfer).
+        import jax
+
+        bufs = jax.device_get([p for _, _, _, p in launched])
+        refetch = []  # (list_pos, full-out) needing exact trims
+        decoded = []
+        for (sub, out, caps, _), buf in zip(launched, bufs):
+            d = _unpack_meta_payload(buf, *caps)
+            meta = d["meta"]
+            sk, dk, ik = caps
+            if (
+                meta[:, 0].max(initial=0) > sk
+                or meta[:, 1].max(initial=0) > dk
+                or meta[:, 2].max(initial=0) > ik
+            ):
+                refetch.append((len(decoded), out))
+                decoded.append((sub, None))
+            else:
+                decoded.append((sub, d))
+        if refetch:
+            full_caps = [
+                (out["subs"].shape[1], out["dels"].shape[1], out["inss"].shape[1]) for _, out in refetch
+            ]
+            exact = jax.device_get(
+                [_pack_meta_payload(out, *c) for (_, out), c in zip(refetch, full_caps)]
+            )
+            for (pos, _), buf, c in zip(refetch, exact, full_caps):
+                decoded[pos] = (decoded[pos][0], _unpack_meta_payload(buf, *c))
+        for sub, d in decoded:
             for s, i in enumerate(sub):
                 j = jobs[i]
-                boundary[i] = bool(out["meta"][s, 4])
-                if out["meta"][s, 5]:  # overflow / dead walk
+                boundary[i] = bool(d["meta"][s, 4])
+                if d["meta"][s, 5]:  # overflow / dead walk
                     edits[i] = self._host_fallback(j)
                     continue
-                edits[i] = _edit_from_lists(out, s, j.qry)
+                edits[i] = _edit_from_lists(d, s, j.qry)
         return edits, boundary
 
     def _run_round_fused(self, jobs: list, widths: list):

@@ -1,0 +1,543 @@
+"""Stripe DP v2: static-op Pallas kernel in window coordinates + run-jump
+traceback.
+
+Why v2. The v1 kernel (ops/stripe_pallas.py) extracts the per-row reference
+char and query band with *dynamic-amount* `pltpu.roll`s — multi-microsecond
+ops on TPU that cap it at ~0.2 Gcells/s. v2 reformulates the band DP so every
+per-row operation is static:
+
+- **window coordinates**: with the pre-shifted query qsh[t] = qry[t - ms - W],
+  row i's band is qsh[i : i+B). For a C-row chunk starting at row c*C+1, all
+  rows' bands live inside the static window t in [c*C+1, c*C+1+2C) (C == B).
+  Window lane l = t - (c*C + 1); row i band k maps to l = (i-1-c*C) + k.
+  Diagonal predecessor = lane l-1 (one static roll), vertical = same lane,
+  horizontal = exclusive lane prefix-max. The band edge marches as an iota
+  compare against the row index — no dynamic slicing anywhere.
+- **run counters for traceback**: each cell's output packs its origin bits
+  with the length of the consecutive diagonal(MATCH)-origin run ending at it
+  (int16: bits | run << 6, run capped at 1023). The traceback then *jumps*
+  whole match runs instead of walking row by row — the walk cost scales with
+  the number of edits, not the alignment length.
+- **event-only records + top_k compaction**: the walk writes a rec word only
+  at indel events (D rows, M rows with a trailing insertion run). Events are
+  compacted with jax.lax.top_k (no XLA scatters, which are serial on TPU) and
+  the host reconstructs the RLE alignment; substitutions inside match runs
+  are recovered by vectorized numpy compares of ref[a:b] vs qry[a+d:b+d].
+
+Role in the framework: this is the K3 kernel of SURVEY.md §7 — the batched
+banded aligner replacing the reference's ksw2 extension (align.c/ksw2_*) and
+the simplestripe re-aligner (align/nextclade/align/score_matrix.rs:23,
+backtrace.rs:17). Scoring matches params.rs:142-176: match 3, mismatch -1,
+gap open 6, extend 0, free terminal gaps.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MATCH = 1
+REF_GAP_MATRIX = 2
+QRY_GAP_MATRIX = 4
+REF_GAP_EXTEND = 8
+QRY_GAP_EXTEND = 16
+BOUNDARY = 32
+
+NO_ALIGN = -1_000_000_000
+SCORE_MATCH = 3
+PENALTY_MISMATCH = 1
+GAP_OPEN = 6
+
+G = 8  # problems per group (sublane tile)
+RUN_CAP = 1023  # run counter fits in 10 bits of the int16 record
+
+OP_M = 1
+OP_D = 2
+
+# walk-state SMEM slots
+S_I, S_Q, S_STATE, S_INS, S_DEAD, S_BND = 0, 1, 2, 3, 4, 5
+
+
+def _prefix_max_exclusive(x, WN):
+    """Exclusive running max along lanes of [G, WN] int32."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, WN), 1)
+    y = pltpu.roll(x, 1, axis=1)
+    y = jnp.where(lane >= 1, y, NO_ALIGN)
+    s = 1
+    while s < WN:
+        z = pltpu.roll(y, s, axis=1)
+        z = jnp.where(lane >= s + 1, z, NO_ALIGN)
+        y = jnp.maximum(y, z)
+        s *= 2
+    return y
+
+
+def _dp_kernel(
+    rlen_ref, qlen_ref, ms_ref, W_ref, gmax_ref,  # SMEM scalars
+    ref_chunk_ref,  # [G, C] int32 ref mask chunk
+    *qsh_and_out,  # WN//C pre-shifted query chunks [G, C] u8, paths out, 3 scratch
+    C: int, B: int,
+):
+    WN = B + C
+    n_q = WN // C
+    qsh_refs = qsh_and_out[:n_q]
+    paths_ref = qsh_and_out[n_q]  # out [G, C, WN] int16: origin bits | run << 6
+    H_ref, qg_ref, run_ref = qsh_and_out[n_q + 1 :]  # VMEM scratch [G, WN] int32
+    g = pl.program_id(0)
+    c = pl.program_id(1)
+
+    def vec8(ref):
+        sub = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+        v = jnp.zeros((G, 1), jnp.int32)
+        for j in range(G):
+            v = jnp.where(sub == j, ref[g, j], v)
+        return v
+
+    rlen_v = vec8(rlen_ref)
+    qlen_v = vec8(qlen_ref)
+    ms_v = vec8(ms_ref)
+    W_v = vec8(W_ref)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, WN), 1)
+    clane = jax.lax.broadcasted_iota(jnp.int32, (G, C), 1)
+
+    # query position of window lane l: q = c*C + 1 + l - ms - W
+    qpos = c * C + 1 + lane - ms_v - W_v
+    q_ok = (qpos >= 0) & (qpos <= qlen_v)
+
+    @pl.when(c == 0)
+    def _init():
+        # virtual row 0: free leading insertion wherever q is in range
+        H_ref[:] = jnp.where(q_ok, 0, NO_ALIGN)
+        qg_ref[:] = jnp.full((G, WN), NO_ALIGN, dtype=jnp.int32)
+        run_ref[:] = jnp.zeros((G, WN), dtype=jnp.int32)
+
+    @pl.when(c > 0)
+    def _shift():
+        # re-express carries in this chunk's window (origin moved +C lanes):
+        # new[l] = old[l + C]; vacated upper lanes get row-0-style values for
+        # lanes whose q just entered range (only relevant while i <= ...),
+        # NO_ALIGN otherwise — rows below read them masked by band checks.
+        fill = lane >= WN - C
+        H_ref[:] = jnp.where(fill, NO_ALIGN, pltpu.roll(H_ref[:], WN - C, axis=1))
+        qg_ref[:] = jnp.where(fill, NO_ALIGN, pltpu.roll(qg_ref[:], WN - C, axis=1))
+        run_ref[:] = jnp.where(fill, 0, pltpu.roll(run_ref[:], WN - C, axis=1))
+
+    group_max = gmax_ref[g, 0]
+
+    @pl.when(c * C < group_max)
+    def _compute():
+        # char consumed by a diagonal move into (i, q) is qry[q-1], i.e.
+        # qsh[i - 1 + k] = qsh[c*C + l] for window lane l
+        qm = jnp.concatenate([r[:].astype(jnp.int32) for r in qsh_refs], axis=1)  # [G, WN]
+        ref_val = ref_chunk_ref[:]  # [G, C] int32
+
+        KR = 32  # rows per aligned int16 store
+
+        def row_body(j, carry):
+            H_prev, qgap, run_prev, acc = carry
+            i = c * C + j + 1
+            inband = (lane >= j) & (lane < j + B)
+            in_matrix = q_ok & (i <= rlen_v) & inband
+
+            # this row's reference char: mask+sum extraction from the chunk
+            rm = jnp.sum(jnp.where(clane == j, ref_val, 0), axis=1, keepdims=True)  # [G, 1]
+
+            H_diag = pltpu.roll(H_prev, 1, axis=1)
+            H_diag = jnp.where(lane == 0, NO_ALIGN, H_diag)
+            run_d = pltpu.roll(run_prev, 1, axis=1)
+            run_d = jnp.where(lane == 0, 0, run_d)
+
+            diag_valid = (qpos >= 1) & in_matrix
+            edge_hi = lane == j + B - 1
+            edge_lo = lane == j
+            up_valid = ~edge_hi & (qpos >= 1) & in_matrix
+
+            unknown = (rm == 15) | (qm == 15)
+            compat = (rm & qm) > 0
+            msub = jnp.where(unknown, SCORE_MATCH - 1, jnp.where(compat, SCORE_MATCH, -PENALTY_MISMATCH))
+            M = jnp.where(diag_valid, H_diag + msub, NO_ALIGN)
+            interior = (qpos >= 1) & (i < rlen_v) & (qpos < qlen_v) & in_matrix
+            path = jnp.where(~diag_valid & interior, BOUNDARY, 0)
+
+            q_free = qpos == qlen_v
+            q_open_val = jnp.where(q_free, H_prev, H_prev - GAP_OPEN)
+            q_ext_allowed = (qgap >= q_open_val) & (lane - j < B - 2)
+            QG = jnp.where(up_valid, jnp.where(q_ext_allowed, qgap, q_open_val), NO_ALIGN)
+            path = path | jnp.where(up_valid & q_ext_allowed, QRY_GAP_EXTEND, 0)
+            path = path | jnp.where(~up_valid & interior, BOUNDARY, 0)
+            new_qgap = jnp.where(up_valid, QG, NO_ALIGN)
+
+            first_col = (qpos == 0) & in_matrix
+            M = jnp.where(first_col, 0, M)
+            NQ = jnp.maximum(M, QG)
+
+            gap_cost = jnp.where(i == rlen_v, 0, GAP_OPEN)
+            P = jnp.where(in_matrix, NQ - gap_cost, NO_ALIGN)
+            Gv = _prefix_max_exclusive(P, WN)
+            Gv = jnp.where(edge_lo | ~in_matrix, NO_ALIGN, Gv)
+            path = path | jnp.where(edge_lo & interior, BOUNDARY, 0)
+            prevG = pltpu.roll(Gv, 1, axis=1)
+            prevG = jnp.where(edge_lo, NO_ALIGN, prevG)
+            Hm1 = jnp.maximum(NQ, Gv)
+            r_open_prev = pltpu.roll(Hm1 - gap_cost, 1, axis=1)
+            r_open_prev = jnp.where(edge_lo, NO_ALIGN, r_open_prev)
+            r_ext = (prevG >= r_open_prev) & (lane - j > 1)
+            path = path | jnp.where((Gv > NO_ALIGN) & r_ext, REF_GAP_EXTEND, 0)
+
+            best_mr = jnp.where(Gv >= M, Gv, M)
+            origin_mr = jnp.where(Gv >= M, REF_GAP_MATRIX, MATCH)
+            H = jnp.where(QG >= best_mr, QG, best_mr)
+            origin = jnp.where(QG >= best_mr, QRY_GAP_MATRIX, origin_mr)
+
+            H = jnp.where(first_col, 0, H)
+            origin = jnp.where(first_col, QRY_GAP_MATRIX, origin)
+            path = jnp.where(first_col, QRY_GAP_EXTEND, path)
+            path = path | origin
+            H = jnp.where(in_matrix, H, NO_ALIGN)
+            path = jnp.where(in_matrix, path, 0)
+
+            is_m = (path & MATCH) > 0
+            run = jnp.where(is_m & in_matrix, jnp.minimum(run_d + 1, RUN_CAP), 0)
+            rec16 = (path | (run << 6)).astype(jnp.int16)
+
+            live = i <= rlen_v
+            H_out = jnp.where(live, H, H_prev)
+            qg_out = jnp.where(live, new_qgap, qgap)
+            run_out = jnp.where(live, run, run_prev)
+            acc = jnp.concatenate([acc[:, 1:, :], rec16[:, None, :]], axis=1)
+            return H_out, qg_out, run_out, acc
+
+        def block_body(rg, carry):
+            H_prev, qgap, run_prev = carry
+            acc0 = jnp.zeros((G, KR, WN), dtype=jnp.int16)
+            H_prev, qgap, run_prev, acc = jax.lax.fori_loop(
+                rg * KR, rg * KR + KR, row_body, (H_prev, qgap, run_prev, acc0)
+            )
+            idx = pl.multiple_of(rg * KR, KR)
+            paths_ref[:, pl.ds(idx, KR), :] = acc
+            return H_prev, qgap, run_prev
+
+        H_fin, qg_fin, run_fin = jax.lax.fori_loop(0, C // KR, block_body, (H_ref[:], qg_ref[:], run_ref[:]))
+        H_ref[:] = H_fin
+        qg_ref[:] = qg_fin
+        run_ref[:] = run_fin
+
+    @pl.when(c * C >= group_max)
+    def _skip():
+        paths_ref[:] = jnp.zeros((G, C, WN), dtype=jnp.int16)
+
+
+DP_C = 128  # DP rows per grid chunk
+
+
+def stripe_dp_v2(ref_mask, qsh_mask, rlen, qlen, ms, W, gmax, R_cap: int, B: int):
+    """Banded stripe DP over [n, ...] problem arrays (n % G == 0).
+
+    ref_mask [n, R_cap] int32 IUPAC masks; qsh_mask [n, R_cap + B] uint8
+    pre-shifted query masks (qsh[t] = qry_mask[t - ms - W]).
+    Returns paths [n, R_cap, B + DP_C] int16: origin bits | run << 6, rows
+    1..R_cap in window coordinates (row i, band k at lane (i-1) % DP_C + k).
+    """
+    C = DP_C
+    WN = B + C
+    n = ref_mask.shape[0]
+    assert n % G == 0 and R_cap % C == 0 and B % C == 0
+    assert qsh_mask.shape[1] == R_cap + B
+    n_groups = n // G
+    n_chunks = R_cap // C
+    grid = (n_groups, n_chunks)
+
+    def smem():
+        return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def qspec(t):
+        return pl.BlockSpec((G, C), lambda g, c, t=t: (g, c + t), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_dp_kernel, C=C, B=B),
+        grid=grid,
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[smem(), smem(), smem(), smem(), smem()]
+        + [pl.BlockSpec((G, C), lambda g, c: (g, c), memory_space=pltpu.VMEM)]
+        + [qspec(t) for t in range(WN // C)],
+        out_specs=pl.BlockSpec((G, C, WN), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, R_cap, WN), jnp.int16),
+        scratch_shapes=[
+            pltpu.VMEM((G, WN), jnp.int32),
+            pltpu.VMEM((G, WN), jnp.int32),
+            pltpu.VMEM((G, WN), jnp.int32),
+        ],
+    )(
+        rlen.reshape(n_groups, G),
+        qlen.reshape(n_groups, G),
+        ms.reshape(n_groups, G),
+        W.reshape(n_groups, G),
+        gmax.reshape(n_groups, 1),
+        ref_mask,
+        *([qsh_mask] * (WN // C)),
+    )
+
+
+CW = 8192  # walk rows per grid step (8x (8,128) rec tiles)
+
+
+def _walk_kernel(rlen_ref, qlen_ref, ms_ref, W_ref, paths_ref, rec_ref, meta_ref, st_ref, *, C: int, B: int, cw: int):
+    """Run-jumping traceback. Emits an int32 event word per *event* row only:
+    OP_D, or OP_M | ins_run << 2 (insertion run following the row's move).
+    Pure-match stretches are jumped via the run counters in the DP records."""
+    WN = B + C
+    g = pl.program_id(0)
+    c_rev = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    chunk = n_chunks - 1 - c_rev
+    c0 = chunk * cw
+
+    @pl.when(c_rev == 0)
+    def _init():
+        st_ref[S_I] = rlen_ref[g]
+        st_ref[S_Q] = qlen_ref[g]
+        st_ref[S_STATE] = 0
+        st_ref[S_INS] = 0
+        st_ref[S_DEAD] = 0
+        st_ref[S_BND] = 0
+
+    msv = ms_ref[g]
+    Wv = W_ref[g]
+    W2 = WN // 2  # paths arrive bitcast to int32 (two int16 records per lane)
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, W2), 0)
+    laneW = jax.lax.broadcasted_iota(jnp.int32, (8, W2), 1)
+    sub_r = jax.lax.broadcasted_iota(jnp.int32, (cw // 128, 128), 0)
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (cw // 128, 128), 1)
+
+    rec0 = jnp.zeros((cw // 128, 128), jnp.int32)
+
+    def cond(carry):
+        i, q, st, ins, dead, bnd, rec = carry
+        return (i > c0) & (dead == 0)
+
+    def body(carry):
+        i, q, st, ins, dead, bnd, rec = carry
+        li = i - 1 - c0  # row within walk chunk
+        # window lane within the DP chunk holding row i (DP chunks are C rows)
+        c0_dp = (i - 1) & ~(C - 1)
+        l = q + msv + Wv - c0_dp - 1
+        j = i - 1 - c0_dp
+        in_band = (l >= j) & (l < j + B) & (l >= 0) & (l < WN)
+        slab_at = pl.multiple_of((li >> 3) << 3, 8)
+        slab = paths_ref[0, pl.ds(slab_at, 8), :]  # [8, WN//2] int32
+        word32 = jnp.sum(jnp.where((sub8 == (li & 7)) & (laneW == (l >> 1)), slab, 0))
+        # little-endian int16 pair: even lane in low half, odd in high half
+        word = (word32 >> ((l & 1) * 16)) & 0xFFFF
+        word = jnp.where(in_band, word, 0)
+        bits = word & 63
+        runv = word >> 6
+        bnd = bnd | ((bits & BOUNDARY) > 0).astype(jnp.int32)
+
+        take_m = (st == 0) & ((bits & MATCH) > 0)
+        take_i = ((st == 0) & ((bits & REF_GAP_MATRIX) > 0) & ~take_m) | (st == REF_GAP_MATRIX)
+        take_d = ((st == 0) & ((bits & QRY_GAP_MATRIX) > 0) & ~take_m & ~take_i) | (st == QRY_GAP_MATRIX)
+        new_dead = jnp.where((bits != 0) & (take_m | take_i | take_d), 0, 1)
+        live = new_dead == 0
+
+        # event emission: D rows always; M rows only when an insertion run
+        # trails them (ins > 0). Jumped match rows emit nothing.
+        is_event = live & (take_d | (take_m & (ins > 0)))
+        opv = jnp.where(take_m, OP_M, OP_D) | (ins << 2)
+        hit = is_event & (sub_r == (li >> 7)) & (lane_r == (li & 127))
+        rec = jnp.where(hit, opv, rec)
+
+        new_st = jnp.where(
+            take_i,
+            jnp.where((bits & REF_GAP_EXTEND) > 0, REF_GAP_MATRIX, 0),
+            jnp.where(take_d, jnp.where((bits & QRY_GAP_EXTEND) > 0, QRY_GAP_MATRIX, 0), st),
+        )
+        # match-run jump: consume L diagonal moves at once (cap at chunk edge)
+        L = jnp.where(take_m, jnp.minimum(jnp.maximum(runv, 1), i - c0), 0)
+        di = jnp.where(take_m, L, jnp.where(take_d, 1, 0))
+        dq = jnp.where(take_m, L, jnp.where(take_i, 1, 0))
+        i = jnp.where(live, i - di, i)
+        q = jnp.where(live, q - dq, q)
+        ins = jnp.where(live, jnp.where(take_i, ins + 1, jnp.where(take_m | take_d, 0, ins)), ins)
+        st = jnp.where(live, new_st, st)
+        return i, q, st, ins, new_dead, bnd, rec
+
+    carry = (st_ref[S_I], st_ref[S_Q], st_ref[S_STATE], st_ref[S_INS], st_ref[S_DEAD], st_ref[S_BND], rec0)
+    i, q, st, ins, dead, bnd, rec = jax.lax.while_loop(cond, body, carry)
+
+    st_ref[S_I] = i
+    st_ref[S_Q] = q
+    st_ref[S_STATE] = st
+    st_ref[S_INS] = ins
+    st_ref[S_DEAD] = dead
+    st_ref[S_BND] = bnd
+
+    rec_ref[0] = rec
+    meta_ref[g, 0] = q  # lead insertion length (+ pending ins handled on host)
+    meta_ref[g, 1] = dead | jnp.where(i > 0, 1, 0).astype(jnp.int32)
+    meta_ref[g, 2] = bnd
+    meta_ref[g, 3] = ins  # pending insertion run at walk end (prepends at pos 0)
+
+
+def walk_v2(paths, rlen, qlen, ms, W, R_cap: int, B: int):
+    """Traceback over v2 path records. rec [m, R_cap] int32 event words
+    (0 = non-event row), meta [m, 4]: lead, dead, boundary, pending_ins."""
+    C = DP_C
+    WN = B + C
+    m = paths.shape[0]
+    # pick the walk chunk: bound the VMEM block to ~4 MB, >= 1024 rows so the
+    # rec tile (cw//128 multiple of 8) stays aligned, <= R_cap
+    cw = 1024
+    while cw * 2 <= min(R_cap, 8192) and cw * 2 * (WN // 2) * 4 <= 4 * 1024 * 1024:
+        cw *= 2
+    cw = min(cw, R_cap)
+    assert R_cap % cw == 0
+    n_chunks = R_cap // cw
+    grid = (m, n_chunks)
+
+    # int16 records, int32 lanes for cheap 1-tile dynamic slab loads
+    paths32 = jax.lax.bitcast_convert_type(paths.reshape(m, R_cap, WN // 2, 2), jnp.int32)
+
+    rec, meta = pl.pallas_call(
+        functools.partial(_walk_kernel, C=C, B=B, cw=cw),
+        grid=grid,
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cw, WN // 2), lambda g, c: (g, n_chunks - 1 - c, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cw // 128, 128), lambda g, c: (g, n_chunks - 1 - c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, R_cap // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((m, 4), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((8,), jnp.int32)],
+    )(rlen, qlen, ms, W, paths32)
+    return rec.reshape(m, R_cap), meta
+
+
+def compact_events(rec, meta, K: int):
+    """Event-row compaction with top_k (rows descending — walk order).
+    Returns rows [m, K], words [m, K], n_events [m], meta."""
+    m, R_cap = rec.shape
+    rows = jnp.arange(R_cap, dtype=jnp.int32)[None, :]
+    flag = rec != 0
+    key = jnp.where(flag, rows, -1)
+    top_rows, idx = jax.lax.top_k(key, K)
+    words = jnp.take_along_axis(rec, idx, axis=1)
+    words = jnp.where(top_rows >= 0, words, 0)
+    n_events = jnp.sum(flag, axis=1, dtype=jnp.int32)
+    return top_rows, words, n_events
+
+
+@functools.partial(jax.jit, static_argnames=("R_cap", "B", "K"))
+def stripe_align_v2(ref_seq, qry_seq, rlen, qlen, ms, W, gmax, R_cap: int, B: int, K: int = 512):
+    """Full device pipeline: DP -> run-jump walk -> event compaction.
+
+    ref_seq [m, R_cap] uint8, qry_seq [m, R_cap + 2B] uint8 (raw bytes; IUPAC
+    masks and the pre-shifted query are derived on device). Returns dict with
+    rows/words [m, K], n_events [m], meta [m, 4] (lead, dead, bnd, pend_ins).
+    Event counts > K are flagged dead via n_events (host checks)."""
+    from pangraph_tpu.graph.seq import IUPAC_MASK
+
+    m, Wq = qry_seq.shape
+    assert Wq == R_cap + B
+    iupac = jnp.asarray(IUPAC_MASK)
+    ref_mask = jnp.take(iupac, ref_seq.astype(jnp.int32), mode="clip").astype(jnp.int32)
+    qry_mask = jnp.take(iupac, qry_seq.astype(jnp.int32), mode="clip")
+    shift = ms + W
+    t = jnp.arange(Wq, dtype=jnp.int32)[None, :]
+    rolled = jax.vmap(lambda row, s: jnp.roll(row, s))(qry_mask, shift)
+    valid = (t >= shift[:, None]) & (t < shift[:, None] + qlen[:, None])
+    qsh = jnp.where(valid, rolled, 0).astype(jnp.uint8)
+
+    paths = stripe_dp_v2(ref_mask, qsh, rlen, qlen, ms, W, gmax, R_cap, B)
+    rec, meta = walk_v2(paths, rlen, qlen, ms, W, R_cap, B)
+    rows, words, n_events = compact_events(rec, meta, K)
+    return {"rows": rows, "words": words, "n_events": n_events, "meta": meta}
+
+
+def edit_from_events(rows, words, n_events, meta, ref: np.ndarray, qry: np.ndarray):
+    """Host decode: event list -> Edit, with substitutions recovered by
+    vectorized compare over the implicit match runs.
+
+    Conventions (edits.rs, map_variations.rs:70-73): Sub.pos / Del.pos are
+    0-based reference positions; Ins.pos is the reference position *after*
+    which the insertion sits. Event at row index x (0-based): OP_D = deletion
+    of ref[x]; OP_M = match move consuming ref[x]; either op may carry a
+    trailing insertion run (word >> 2 chars after ref position x+1). Rows
+    between events are implicit matches. An insertion breaks a deletion run
+    into separate Del entries (matching the host backtrace semantics).
+    Returns (edit, ok) — ok False when the walk died or events overflowed."""
+    from pangraph_tpu.graph.edits import Del, Edit, Ins, Sub
+
+    K = rows.shape[0]
+    lead, dead, _bnd, pend_ins = int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3])
+    n = int(n_events)
+    if dead or n > K:
+        return None, False
+    rlen, qlen = len(ref), len(qry)
+
+    subs, dels, inss = [], [], []
+    q = lead + pend_ins  # query chars consumed so far (forward order)
+    if q:
+        inss.append(Ins(0, bytes(qry[:q]).decode()))
+    r = 0  # ref chars consumed
+
+    def match_run(r0, q0, length):
+        if length <= 0:
+            return
+        a = ref[r0 : r0 + length]
+        b = qry[q0 : q0 + length]
+        for d in np.nonzero(a != b)[0]:
+            subs.append(Sub(r0 + int(d), chr(int(b[d]))))
+
+    cur_del = None  # [start, len] pending deletion run
+    # events arrive in walk order (descending row); process forward
+    for t in range(n - 1, -1, -1):
+        x, word = int(rows[t]), int(words[t])
+        op = word & 3
+        ins_len = word >> 2
+        gap = x - r  # implicit match rows before this event
+        if gap > 0 or op == OP_M:
+            if cur_del is not None:
+                dels.append(Del(cur_del[0], cur_del[1]))
+                cur_del = None
+        match_run(r, q, gap)
+        r += gap
+        q += gap
+        if op == OP_D:
+            if cur_del is not None and cur_del[0] + cur_del[1] == x:
+                cur_del[1] += 1
+            else:
+                if cur_del is not None:
+                    dels.append(Del(cur_del[0], cur_del[1]))
+                cur_del = [x, 1]
+            r += 1
+        else:  # OP_M: diagonal move at row x (match or substitution)
+            match_run(r, q, 1)
+            r += 1
+            q += 1
+        if ins_len:
+            if cur_del is not None:
+                dels.append(Del(cur_del[0], cur_del[1]))
+                cur_del = None
+            inss.append(Ins(r, bytes(qry[q : q + ins_len]).decode()))
+            q += ins_len
+    if cur_del is not None:
+        dels.append(Del(cur_del[0], cur_del[1]))
+    # trailing pure-match stretch
+    match_run(r, q, rlen - r)
+    q += rlen - r
+    if q != qlen:
+        return None, False
+    return Edit(subs=subs, dels=dels, inss=inss), True
