@@ -49,6 +49,9 @@ class BuildArgs:
     # the merge schedule sequential, build_run.rs:111; we re-enable the
     # tree-level parallelism its tree/balance.rs left disabled)
     jobs: int = 1
+    # checkpoint/resume directory: completed merge-tree subgraphs are written
+    # here and restored on re-run (build/build.py MergeCheckpointer)
+    checkpoint_dir: str = None
     aln_args: AlignmentArgs = field(default_factory=AlignmentArgs)
     banded_params: BandedAlignParams = field(default_factory=BandedAlignParams)
 

@@ -33,7 +33,52 @@ def make_find_matches(args: BuildArgs, aligner=None):
     return find_matches
 
 
-def build(records, args: BuildArgs, aligner=None, find_matches_override=None) -> Pangraph:
+class MergeCheckpointer:
+    """Checkpoint/resume at merge-tree granularity (SURVEY.md §5: the graph
+    JSON is the natural checkpoint unit; the reference has none mid-build,
+    bin/merge_two_graphs.rs only hints at it). Each completed internal clade's
+    subgraph is written to `<dir>/merge-<fingerprint>.json.gz`, keyed by the
+    sorted leaf-name set, so an interrupted build — or one re-run with more
+    genomes sharing subtrees — resumes from the deepest completed merges."""
+
+    def __init__(self, directory):
+        import os
+
+        self.dir = directory
+        os.makedirs(directory, exist_ok=True)
+
+    @staticmethod
+    def fingerprint(leaf_names) -> str:
+        import hashlib
+
+        h = hashlib.blake2b("\n".join(sorted(leaf_names)).encode(), digest_size=12)
+        return h.hexdigest()
+
+    def _path(self, leaf_names):
+        import os
+
+        return os.path.join(self.dir, f"merge-{self.fingerprint(leaf_names)}.json.gz")
+
+    def load(self, leaf_names):
+        import os
+
+        p = self._path(leaf_names)
+        if os.path.exists(p):
+            log.info("checkpoint hit: %s (%d leaves)", p, len(leaf_names))
+            return Pangraph.from_file(p)
+        return None
+
+    def save(self, leaf_names, graph) -> None:
+        import os
+
+        p = self._path(leaf_names)
+        # tmp name keeps the .json.gz suffix so compression sniffing applies
+        tmp = os.path.join(self.dir, f".tmp-{os.getpid()}-{os.path.basename(p)}")
+        graph.to_file(tmp)
+        os.replace(tmp, p)
+
+
+def build(records, args: BuildArgs, aligner=None, find_matches_override=None, progress=None) -> Pangraph:
     """records: list of FastaRecord. Returns the merged pangenome graph."""
     names = [r.seq_name for r in records]
     if len(set(names)) != len(names):
@@ -54,29 +99,95 @@ def build(records, args: BuildArgs, aligner=None, find_matches_override=None) ->
     if tree.is_leaf():
         return graphs[tree.data]
 
+    ckpt = MergeCheckpointer(args.checkpoint_dir) if getattr(args, "checkpoint_dir", None) else None
+    # leaf clade data is the record index; map to names for checkpoint keys
+    leaf_names = {}
+    if ckpt is not None:
+        by_index = {r.index: r.seq_name for r in records}
+        for c in tree.postorder():
+            if c.is_leaf():
+                leaf_names[id(c)] = [by_index[c.data]]
+            else:
+                leaf_names[id(c)] = leaf_names[id(c.left)] + leaf_names[id(c.right)]
+
+    # resume: restore the deepest completed subtrees top-down, so nothing
+    # below a checkpointed clade is recomputed (or even scheduled)
+    restored = set()
+    if ckpt is not None:
+
+        def restore(c):
+            if c.is_leaf():
+                return
+            g = ckpt.load(leaf_names[id(c)])
+            if g is not None:
+                c.data = g
+                restored.add(id(c))
+                return
+            restore(c.left)
+            restore(c.right)
+
+        restore(tree)
+        if id(tree) in restored:
+            graph = tree.data
+            if args.verify:
+                verify_roundtrip(graph, records)
+            return graph
+
+    covered = _ids_below_restored(tree, restored)
+
     jobs = args.jobs or 1
     if jobs > 1:
-        graph = _merge_tree_parallel(tree, graphs, args, find_matches, aligner, jobs)
+        graph = _merge_tree_parallel(
+            tree, graphs, args, find_matches, aligner, jobs, ckpt, leaf_names, restored, covered, progress
+        )
     else:
-        n_merges = sum(1 for c in tree.postorder() if not c.is_leaf())
+        n_merges = sum(
+            1 for c in tree.postorder() if not c.is_leaf() and id(c) not in restored and id(c) not in covered
+        )
         done = 0
         for clade in tree.postorder():
+            if id(clade) in restored or id(clade) in covered:
+                continue
             if clade.is_leaf():
                 clade.data = graphs[clade.data]
                 continue
             left, right = clade.left.data, clade.right.data
             log.info("merging graphs (%d + %d paths)", len(left.paths), len(right.paths))
             clade.data = merge_graphs(left, right, args, find_matches, aligner)
+            if ckpt:
+                ckpt.save(leaf_names[id(clade)], clade.data)
             clade.left.data = clade.right.data = None  # free child graphs
             done += 1
             log.info("merge %d/%d complete -> %d blocks", done, n_merges, len(clade.data.blocks))
+            if progress is not None:
+                progress.tick(f"{len(clade.data.blocks)} blocks")
         graph = tree.data
     if args.verify:
         verify_roundtrip(graph, records)
     return graph
 
 
-def _merge_tree_parallel(tree, graphs, args, find_matches, aligner, jobs: int):
+def _ids_below_restored(tree, restored: set) -> set:
+    """ids of clades strictly below a checkpoint-restored ancestor (their
+    work is already covered; they are neither merged nor scheduled)."""
+    out = set()
+
+    def walk(c, below):
+        if below:
+            out.add(id(c))
+        if not c.is_leaf():
+            nb = below or (id(c) in restored)
+            walk(c.left, nb)
+            walk(c.right, nb)
+
+    walk(tree, False)
+    return out
+
+
+def _merge_tree_parallel(
+    tree, graphs, args, find_matches, aligner, jobs: int, ckpt=None, leaf_names=None, restored=None,
+    covered=None, progress=None,
+):
     """Dependency-driven merge schedule: independent guide-tree nodes run on a
     host thread pool, so one merge's host bookkeeping (reweave, reconsensus
     interval arithmetic) overlaps another's device alignment batches. The
@@ -85,14 +196,20 @@ def _merge_tree_parallel(tree, graphs, args, find_matches, aligner, jobs: int):
     (tree/balance.rs:6, neighbor_joining.rs:30-31)."""
     import concurrent.futures as cf
 
+    restored = restored or set()
+    covered = covered or set()
     for c in tree.postorder():
-        if c.is_leaf():
+        if c.is_leaf() and id(c) not in covered:
             c.data = graphs[c.data]
-    internals = [c for c in tree.postorder() if not c.is_leaf()]
+    internals = [
+        c for c in tree.postorder() if not c.is_leaf() and id(c) not in restored and id(c) not in covered
+    ]
     parent = {}
     pending = {}
     for c in internals:
-        pending[id(c)] = sum(1 for ch in (c.left, c.right) if not ch.is_leaf())
+        pending[id(c)] = sum(
+            1 for ch in (c.left, c.right) if not ch.is_leaf() and id(ch) not in restored
+        )
         for ch in (c.left, c.right):
             parent[id(ch)] = c
     n_merges = len(internals)
@@ -102,6 +219,8 @@ def _merge_tree_parallel(tree, graphs, args, find_matches, aligner, jobs: int):
         g = merge_graphs(c.left.data, c.right.data, args, find_matches, aligner)
         c.left.data = c.right.data = None
         c.data = g
+        if ckpt is not None:
+            ckpt.save(leaf_names[id(c)], g)
         return c
 
     with cf.ThreadPoolExecutor(max_workers=jobs) as ex:
@@ -113,6 +232,8 @@ def _merge_tree_parallel(tree, graphs, args, find_matches, aligner, jobs: int):
                 c = f.result()
                 done += 1
                 log.info("merge %d/%d complete -> %d blocks", done, n_merges, len(c.data.blocks))
+                if progress is not None:
+                    progress.tick(f"{len(c.data.blocks)} blocks")
                 p = parent.get(id(c))
                 if p is not None:
                     pending[id(p)] -= 1

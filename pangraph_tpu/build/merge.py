@@ -16,6 +16,7 @@ from pangraph_tpu.build.reconsensus import detach_unaligned_nodes, reconsensus_g
 from pangraph_tpu.build.reweave import reweave
 from pangraph_tpu.build.split_matches import split_matches
 from pangraph_tpu.graph.graph import Pangraph, graph_join
+from pangraph_tpu.utils import trace
 from pangraph_tpu.utils.intervals import have_no_overlap
 
 log = logging.getLogger(__name__)
@@ -70,7 +71,8 @@ def solve_promises(promises: list, args, aligner=None) -> list:
 
 def self_merge(graph: Pangraph, args, find_matches, aligner=None):
     """One merge iteration (graph_merging.rs:97-174). Returns (graph, changed)."""
-    matches = find_matches(graph.blocks, args.aln_args)
+    with trace.span("find_matches"):
+        matches = find_matches(graph.blocks, args.aln_args)
     log.debug("found %d matches", len(matches))
 
     split = []
@@ -85,9 +87,11 @@ def self_merge(graph: Pangraph, args, find_matches, aligner=None):
     if not accepted:
         return graph, False
 
-    graph, promises = reweave(accepted, graph, args.aln_args.indel_len_threshold)
+    with trace.span("reweave"):
+        graph, promises = reweave(accepted, graph, args.aln_args.indel_len_threshold)
 
-    merged_blocks = solve_promises(promises, args, aligner)
+    with trace.span("solve_promises"):
+        merged_blocks = solve_promises(promises, args, aligner)
 
     detach_unaligned_nodes(merged_blocks, graph.nodes)
     for block in merged_blocks:
@@ -95,7 +99,8 @@ def self_merge(graph: Pangraph, args, find_matches, aligner=None):
         graph.blocks[block.id] = block
 
     merge_ids = [b.id for b in merged_blocks]
-    reconsensus_graph(graph, merge_ids, args, aligner)
+    with trace.span("reconsensus"):
+        reconsensus_graph(graph, merge_ids, args, aligner)
     return graph, True
 
 
@@ -105,14 +110,16 @@ def merge_graphs(left: Pangraph, right: Pangraph, args, find_matches, aligner=No
     graph = graph_join(left, right)
     i = 0
     while True:
-        graph, changed = self_merge(graph, args, find_matches, aligner)
+        with trace.span("self_merge"):
+            graph, changed = self_merge(graph, args, find_matches, aligner)
         if not changed:
             break
         if i >= args.max_self_map:
             log.warning("reached max self-merge iterations (%d)", args.max_self_map)
             break
         i += 1
-    remove_transitive_edges(graph)
+    with trace.span("remove_transitive_edges"):
+        remove_transitive_edges(graph)
     if __debug__:
         graph.sanity_check()
     return graph

@@ -40,7 +40,13 @@ def build_parser():
     b.add_argument("--extra-band-width", type=int, default=5)
     b.add_argument("--max-alignment-attempts", type=int, default=4)
     b.add_argument("--guide-tree", default=None, help="Newick guide tree path")
+    b.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="Directory for merge-tree checkpoints; an interrupted build resumes from completed subgraphs",
+    )
     b.add_argument("--no-tpu", action="store_true", help="Run alignment kernels on host instead of TPU")
+    b.add_argument("--trace", action="store_true", help="Log per-phase wall-time breakdown at the end")
     b.add_argument("--no-progress-bar", action="store_true")
     b.add_argument("--upper-case", action="store_true", help="Uppercase input sequences (always on)")
     _add_verbosity(b)
@@ -96,6 +102,15 @@ def build_parser():
     co = sub.add_parser("completions", help="Generate shell completions")
     co.add_argument("shell", choices=["bash", "zsh", "fish"], nargs="?", default="bash")
 
+    hm = sub.add_parser("help-markdown", help="Print the CLI reference as Markdown")
+
+    mg = sub.add_parser("merge", help="Merge two pangenome graph JSONs directly (dev tool; bin/merge_two_graphs.rs)")
+    mg.add_argument("left_json")
+    mg.add_argument("right_json")
+    mg.add_argument("-o", "--output-json", default="-")
+    mg.add_argument("-c", "--circular", action="store_true")
+    _add_verbosity(mg)
+
     return p
 
 
@@ -131,6 +146,11 @@ def main(argv=None) -> int:
     if args.command == "completions":
         sys.stdout.write(_completions(args.shell))
         return 0
+    if args.command == "help-markdown":
+        sys.stdout.write(_help_markdown())
+        return 0
+    if args.command == "merge":
+        return _cmd_merge(args)
     return 2
 
 
@@ -147,6 +167,7 @@ def _cmd_build(args) -> int:
         verify=args.verify,
         guide_tree=args.guide_tree,
         jobs=args.jobs or 1,
+        checkpoint_dir=args.checkpoint_dir,
         aln_args=AlignmentArgs(
             indel_len_threshold=args.indel_len_threshold,
             alpha=args.alpha,
@@ -178,13 +199,28 @@ def _cmd_build(args) -> int:
             aligner = TpuBatchAligner(
                 build_args.banded_params, build_args.extra_band_width, build_args.max_alignment_attempts
             )
+    if args.trace:
+        from pangraph_tpu.utils import trace
+
+        trace.enable(True)
     recs = read_fasta(args.input_fastas)
+    from pangraph_tpu.utils.progress import ProgressBar
+
+    progress = ProgressBar(max(len(recs) - 1, 1), enabled=not args.no_progress_bar)
     if args.alignment_kernel == "mmseqs":
         from pangraph_tpu.align.mmseqs import make_mmseqs_find_matches
 
-        graph = build(recs, build_args, aligner=aligner, find_matches_override=make_mmseqs_find_matches(build_args))
+        graph = build(
+            recs, build_args, aligner=aligner,
+            find_matches_override=make_mmseqs_find_matches(build_args), progress=progress,
+        )
     else:
-        graph = build(recs, build_args, aligner=aligner)
+        graph = build(recs, build_args, aligner=aligner, progress=progress)
+    progress.close()
+    if args.trace:
+        from pangraph_tpu.utils import trace
+
+        print(trace.summary(), file=sys.stderr)
     graph.to_file(None if args.output_json == "-" else args.output_json)
     return 0
 
@@ -260,8 +296,54 @@ def _cmd_reconstruct(args) -> int:
     return 0
 
 
+def _cmd_merge(args) -> int:
+    """Merge two serialized graphs (reference dev tool bin/merge_two_graphs.rs)."""
+    from pangraph_tpu.align.params import BuildArgs
+    from pangraph_tpu.build.build import make_find_matches
+    from pangraph_tpu.build.merge import merge_graphs
+    from pangraph_tpu.graph.graph import Pangraph
+
+    left = Pangraph.from_file(args.left_json)
+    right = Pangraph.from_file(args.right_json)
+    build_args = BuildArgs(circular=args.circular)
+    aligner = None
+    try:
+        import jax
+
+        jax.devices()
+        from pangraph_tpu.ops.batch_align import TpuBatchAligner
+
+        aligner = TpuBatchAligner(
+            build_args.banded_params, build_args.extra_band_width, build_args.max_alignment_attempts
+        )
+    except Exception:
+        pass
+    graph = merge_graphs(left, right, build_args, make_find_matches(build_args, aligner), aligner)
+    graph.to_file(None if args.output_json == "-" else args.output_json)
+    return 0
+
+
+def _help_markdown() -> str:
+    """Render the whole CLI as a Markdown reference (reference:
+    commands/md_help -> docs/docs/reference.md)."""
+    parser = build_parser()
+    out = ["# pangraph-tpu CLI reference", "", "```", parser.format_help().rstrip(), "```", ""]
+    subs = next(a for a in parser._actions if isinstance(a, argparse._SubParsersAction))
+    seen = set()
+    for name, sp in subs.choices.items():
+        if id(sp) in seen:
+            continue
+        seen.add(id(sp))
+        out += [f"## `pangraph-tpu {name}`", "", "```", sp.format_help().rstrip(), "```", ""]
+        for a in sp._actions:
+            if isinstance(a, argparse._SubParsersAction):
+                for n2, sp2 in a.choices.items():
+                    out += [f"### `pangraph-tpu {name} {n2}`", "", "```", sp2.format_help().rstrip(), "```", ""]
+    return "\n".join(out)
+
+
 def _completions(shell: str) -> str:
-    cmds = "build export simplify reconstruct schema completions"
+    cmds = "build export simplify reconstruct schema completions help-markdown merge"
     if shell == "bash":
         return (
             "_pangraph_tpu() {\n"

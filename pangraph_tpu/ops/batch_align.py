@@ -377,7 +377,7 @@ class TpuBatchAligner:
     MAX_SUB_BATCH = 128
     # fused-kernel tiers: R_cap ladder; batch size derived from a paths-buffer
     # budget so each (R_cap, B) tier compiles exactly once
-    R_TIERS = (4096, 16384, 65536, 262144, 1048576, 4194304)
+    R_TIERS = (4096, 16384, 65536, 131072, 262144, 524288, 1048576, 2097152, 4194304)
     TIER_BYTES = 256 * 1024 * 1024
     V2_BYTES = 2 * 1024 * 1024 * 1024  # paths-buffer budget for the v2 kernel
     backend = "v2"  # "v2" | "pallas" | "fused" | "chunked"
@@ -433,7 +433,7 @@ class TpuBatchAligner:
                 sub = idxs[c0 : c0 + M]
                 m_pad = ((len(sub) + G - 1) // G) * G
                 max_len = max(max(len(jobs[i].ref), len(jobs[i].qry)) for i in sub)
-                K = _cover_pow2(max(512, 64 + max_len // 16), 8192)
+                K = _cover_pow2(max(512, 512 + max_len // 64), 16384)
                 Wq = R_cap + B
                 ref_seq = np.zeros((m_pad, R_cap), dtype=np.uint8)
                 qry_seq = np.zeros((m_pad, Wq), dtype=np.uint8)

@@ -137,33 +137,41 @@ def _dp_kernel(
 
         KR = 32  # rows per aligned int16 store
 
+        # loop invariants hoisted out of the row body
+        qpos1 = qpos >= 1
+        qzero = qpos == 0
+        q_free = qpos == qlen_v
+        q_lt = qpos < qlen_v
+        qm15 = qm == 15
+        lane0 = lane == 0
+
         def row_body(j, carry):
-            H_prev, qgap, run_prev, acc = carry
+            H_prev, qgap, run_prev, ref_rot, acc = carry
             i = c * C + j + 1
             inband = (lane >= j) & (lane < j + B)
             in_matrix = q_ok & (i <= rlen_v) & inband
 
-            # this row's reference char: mask+sum extraction from the chunk
-            rm = jnp.sum(jnp.where(clane == j, ref_val, 0), axis=1, keepdims=True)  # [G, 1]
+            # this row's reference char: column 0 of the rotating ref carry
+            rm = jax.lax.slice_in_dim(ref_rot, 0, 1, axis=1)  # [G, 1]
+            ref_rot = pltpu.roll(ref_rot, C - 1, axis=1)
 
             H_diag = pltpu.roll(H_prev, 1, axis=1)
-            H_diag = jnp.where(lane == 0, NO_ALIGN, H_diag)
+            H_diag = jnp.where(lane0, NO_ALIGN, H_diag)
             run_d = pltpu.roll(run_prev, 1, axis=1)
-            run_d = jnp.where(lane == 0, 0, run_d)
+            run_d = jnp.where(lane0, 0, run_d)
 
-            diag_valid = (qpos >= 1) & in_matrix
+            diag_valid = qpos1 & in_matrix
             edge_hi = lane == j + B - 1
             edge_lo = lane == j
-            up_valid = ~edge_hi & (qpos >= 1) & in_matrix
+            up_valid = ~edge_hi & qpos1 & in_matrix
 
-            unknown = (rm == 15) | (qm == 15)
+            unknown = (rm == 15) | qm15
             compat = (rm & qm) > 0
             msub = jnp.where(unknown, SCORE_MATCH - 1, jnp.where(compat, SCORE_MATCH, -PENALTY_MISMATCH))
             M = jnp.where(diag_valid, H_diag + msub, NO_ALIGN)
-            interior = (qpos >= 1) & (i < rlen_v) & (qpos < qlen_v) & in_matrix
+            interior = qpos1 & (i < rlen_v) & q_lt & in_matrix
             path = jnp.where(~diag_valid & interior, BOUNDARY, 0)
 
-            q_free = qpos == qlen_v
             q_open_val = jnp.where(q_free, H_prev, H_prev - GAP_OPEN)
             q_ext_allowed = (qgap >= q_open_val) & (lane - j < B - 2)
             QG = jnp.where(up_valid, jnp.where(q_ext_allowed, qgap, q_open_val), NO_ALIGN)
@@ -171,7 +179,7 @@ def _dp_kernel(
             path = path | jnp.where(~up_valid & interior, BOUNDARY, 0)
             new_qgap = jnp.where(up_valid, QG, NO_ALIGN)
 
-            first_col = (qpos == 0) & in_matrix
+            first_col = qzero & in_matrix
             M = jnp.where(first_col, 0, M)
             NQ = jnp.maximum(M, QG)
 
@@ -209,19 +217,21 @@ def _dp_kernel(
             qg_out = jnp.where(live, new_qgap, qgap)
             run_out = jnp.where(live, run, run_prev)
             acc = jnp.concatenate([acc[:, 1:, :], rec16[:, None, :]], axis=1)
-            return H_out, qg_out, run_out, acc
+            return H_out, qg_out, run_out, ref_rot, acc
 
         def block_body(rg, carry):
-            H_prev, qgap, run_prev = carry
+            H_prev, qgap, run_prev, ref_rot = carry
             acc0 = jnp.zeros((G, KR, WN), dtype=jnp.int16)
-            H_prev, qgap, run_prev, acc = jax.lax.fori_loop(
-                rg * KR, rg * KR + KR, row_body, (H_prev, qgap, run_prev, acc0)
+            H_prev, qgap, run_prev, ref_rot, acc = jax.lax.fori_loop(
+                rg * KR, rg * KR + KR, row_body, (H_prev, qgap, run_prev, ref_rot, acc0)
             )
             idx = pl.multiple_of(rg * KR, KR)
             paths_ref[:, pl.ds(idx, KR), :] = acc
-            return H_prev, qgap, run_prev
+            return H_prev, qgap, run_prev, ref_rot
 
-        H_fin, qg_fin, run_fin = jax.lax.fori_loop(0, C // KR, block_body, (H_ref[:], qg_ref[:], run_ref[:]))
+        H_fin, qg_fin, run_fin, _ = jax.lax.fori_loop(
+            0, C // KR, block_body, (H_ref[:], qg_ref[:], run_ref[:], ref_val)
+        )
         H_ref[:] = H_fin
         qg_ref[:] = qg_fin
         run_ref[:] = run_fin
