@@ -355,17 +355,27 @@ class TpuBatchAligner:
         jobs = [j if isinstance(j, AlignJob) else AlignJob(*j) for j in jobs]
         n = len(jobs)
         results = [None] * n
-        # working band width per job
+        # working band width / event-capacity multiplier per job
         widths = [j.band.band_width + self.extra for j in jobs]
+        kbumps = [1] * n
         pending = list(range(n))
         attempt = 1
         while pending:
-            edits, boundary = self._run_round([jobs[i] for i in pending], [widths[i] for i in pending])
+            edits, boundary, overflow = self._run_round(
+                [jobs[i] for i in pending], [widths[i] for i in pending], [kbumps[i] for i in pending]
+            )
             next_pending = []
             for slot, idx in enumerate(pending):
-                if boundary[slot] and attempt < self.max_attempts:
-                    widths[idx] = max(2 * widths[idx], max(1, abs(jobs[idx].band.mean_shift)))
+                retry = (boundary[slot] or overflow[slot]) and attempt < self.max_attempts
+                if retry:
+                    if boundary[slot]:
+                        widths[idx] = max(2 * widths[idx], max(1, abs(jobs[idx].band.mean_shift)))
+                    if overflow[slot]:
+                        kbumps[idx] *= 4  # divergent pair: raise event capacity
                     next_pending.append(idx)
+                elif edits[slot] is None:
+                    # retries exhausted with an unusable device result
+                    results[idx] = self._host_fallback(jobs[idx])
                 else:
                     results[idx] = edits[slot]
             pending = next_pending
@@ -390,16 +400,18 @@ class TpuBatchAligner:
             p *= 2
         return p
 
-    def _run_round(self, jobs: list, widths: list):
+    def _run_round(self, jobs: list, widths: list, kbumps: list = None):
         if self.backend == "v2":
-            return self._run_round_v2(jobs, widths)
+            return self._run_round_v2(jobs, widths, kbumps or [1] * len(jobs))
         if self.backend == "pallas":
-            return self._run_round_pallas(jobs, widths)
-        if self.backend == "fused":
-            return self._run_round_fused(jobs, widths)
-        return self._run_round_chunked(jobs, widths)
+            e, b = self._run_round_pallas(jobs, widths)
+        elif self.backend == "fused":
+            e, b = self._run_round_fused(jobs, widths)
+        else:
+            e, b = self._run_round_chunked(jobs, widths)
+        return e, b, [False] * len(jobs)
 
-    def _run_round_v2(self, jobs: list, widths: list):
+    def _run_round_v2(self, jobs: list, widths: list, kbumps: list):
         """v2 kernel round: static-op DP + run-jump walk + event compaction.
         One device_get moves every batch's packed results (meta + event
         rows/words) across the D2H link; decode is host-side RLE + vectorized
@@ -411,13 +423,14 @@ class TpuBatchAligner:
         n = len(jobs)
         edits = [None] * n
         boundary = [False] * n
+        overflow = [False] * n
         groups = {}
         for i, W in enumerate(widths):
             j = jobs[i]
             W_eff = max(W, abs(len(j.qry) - len(j.ref) + j.band.mean_shift) + 1)
-            B = _bucket_b(W_eff)
+            B = _bucket_b(W_eff)  # multiple of DP_C=128, as the DP requires
             L = max(len(j.ref), len(j.qry))
-            tier = next((t for t in self.R_TIERS if t >= L + 2 and t % B == 0), None)
+            tier = next((t for t in self.R_TIERS if t >= L + 2), None)
             if tier is None or B > 1024:
                 edits[i] = self._host_fallback(j)
                 continue
@@ -428,12 +441,14 @@ class TpuBatchAligner:
             M = max((self.V2_BYTES // (R_cap * B * 4) // G) * G, G)
             M = min(M, 128)
             idxs = sorted(idxs, key=lambda i: -len(jobs[i].ref))
-            # event capacity: scale with problem size, pow2 ladder
+            # event capacity: scale with problem size (pow2 ladder); kbumps
+            # raise it for jobs whose previous attempt overflowed
             for c0 in range(0, len(idxs), M):
                 sub = idxs[c0 : c0 + M]
                 m_pad = ((len(sub) + G - 1) // G) * G
                 max_len = max(max(len(jobs[i].ref), len(jobs[i].qry)) for i in sub)
-                K = _cover_pow2(max(512, 512 + max_len // 64), 16384)
+                bump = max(kbumps[i] for i in sub)
+                K = _cover_pow2(max(512, 512 + max_len // 64) * bump, 65536)
                 Wq = R_cap + B
                 ref_seq = np.zeros((m_pad, R_cap), dtype=np.uint8)
                 qry_seq = np.zeros((m_pad, Wq), dtype=np.uint8)
@@ -462,13 +477,20 @@ class TpuBatchAligner:
             for s, i in enumerate(sub):
                 j = jobs[i]
                 boundary[i] = bool(meta[s, 2])
+                overflow[i] = int(n_events[s]) > K
+                if overflow[i]:
+                    continue  # retried with a bigger event capacity
                 edit, ok = edit_from_events(rows[s], words[s], n_events[s], meta[s], j.ref, j.qry)
                 if ok:
                     edits[i] = edit
-                else:  # dead walk / event overflow (rare): host fallback
-                    boundary[i] = False
+                elif boundary[i]:
+                    # band hit produced a degenerate edge-riding path: leave
+                    # edits[i]=None so align_many retries with a doubled band
+                    # (align/align.rs:55-63)
+                    pass
+                else:  # dead walk without boundary: rare; host fallback
                     edits[i] = self._host_fallback(j)
-        return edits, boundary
+        return edits, boundary, overflow
 
     def _run_round_pallas(self, jobs: list, widths: list):
         from pangraph_tpu.ops.stripe_pallas import G, stripe_align_pallas
