@@ -79,9 +79,7 @@ def reconsensus_graph(graph: Pangraph, block_ids: list, args, aligner=None) -> N
             mutations_only.append((bid, maj))
 
     for bid, maj in mutations_only:
-        block = graph.blocks[bid]
-        for sub in maj.subs:
-            block.change_consensus_nucleotide_at_pos(sub)
+        graph.blocks[bid].apply_majority_substitutions(maj.subs)
 
     if need_realignment:
         if aligner is not None and hasattr(aligner, "align_many"):

@@ -207,6 +207,26 @@ class Edit:
         return cons_len + sum(len(i.seq) for i in self.inss) - sum(d.len for d in self.dels)
 
     # ------------------------------------------------------------ band stats
+    def _aligned_count_after_vec(self, ps: np.ndarray, cons_len: int) -> np.ndarray:
+        """aligned_count_after for a vector of positions, O((E+P) log E).
+        Deletions are sorted and non-overlapping (Edit invariant), so the
+        overlap beyond p is a suffix sum plus one partial run."""
+        ps = np.asarray(ps, dtype=np.int64)
+        total = np.maximum(cons_len - ps, 0)
+        if not self.dels:
+            return total
+        d_pos = np.array([d.pos for d in self.dels], dtype=np.int64)
+        d_len = np.array([d.len for d in self.dels], dtype=np.int64)
+        d_end = d_pos + d_len
+        suffix = np.concatenate([np.cumsum(d_len[::-1])[::-1], [0]])
+        j = np.searchsorted(d_pos, ps, side="left")  # first del with pos >= p
+        overlap = suffix[j]
+        # partial overlap of the deletion straddling p (the one before index j)
+        has_prev = j > 0
+        jp = np.maximum(j - 1, 0)
+        part = np.where(has_prev, np.maximum(d_end[jp] - ps, 0), 0)
+        return np.maximum(total - overlap - part, 0)
+
     def aln_mean_shift(self, cons_len: int):
         """Mean displacement of query vs consensus positions (edits.rs:443-484).
         Returns None if no consensus position is aligned."""
@@ -214,10 +234,14 @@ class Edit:
         if aligned == 0:
             return None
         total = 0
-        for ins in self.inss:
-            total -= len(ins.seq) * self.aligned_count_after(ins.pos, cons_len)
-        for d in self.dels:
-            total += d.len * self.aligned_count_after(d.pos, cons_len)
+        if self.inss:
+            i_pos = np.array([i.pos for i in self.inss], dtype=np.int64)
+            i_len = np.array([len(i.seq) for i in self.inss], dtype=np.int64)
+            total -= int(np.sum(i_len * self._aligned_count_after_vec(i_pos, cons_len)))
+        if self.dels:
+            d_pos = np.array([d.pos for d in self.dels], dtype=np.int64)
+            d_len = np.array([d.len for d in self.dels], dtype=np.int64)
+            total += int(np.sum(d_len * self._aligned_count_after_vec(d_pos, cons_len)))
         # round-half-away-from-zero, matching Rust f64::round
         x = total / aligned
         return int(np.floor(x + 0.5)) if x >= 0 else int(np.ceil(x - 0.5))
@@ -226,21 +250,31 @@ class Edit:
         """Max |displacement - mean_shift| over the alignment (edits.rs:486-536)."""
         if self.aligned_count_after(0, cons_len) == 0:
             return None
-        tuples = sorted(
-            [(i.pos, -len(i.seq)) for i in self.inss] + [(d.pos, d.len) for d in self.dels],
-            key=lambda t: t[0],
-        )
-        n = len(tuples)
+        n = len(self.inss) + len(self.dels)
+        if n == 0:
+            return 0
+        pos = np.empty(n, dtype=np.int64)
+        delta = np.empty(n, dtype=np.int64)
+        k = 0
+        for i in self.inss:
+            pos[k], delta[k] = i.pos, -len(i.seq)
+            k += 1
+        for d in self.dels:
+            pos[k], delta[k] = d.pos, d.len
+            k += 1
+        order = np.argsort(pos, kind="stable")
+        pos, delta = pos[order], delta[order]
+        band = np.cumsum(delta)
+        dev = np.abs(band - mean_shift)
         max_bw = 0
-        band = 0
-        for k, (pos, delta) in enumerate(tuples):
-            if k == 0 and pos > 0:
-                max_bw = max(max_bw, abs(band - mean_shift))
-            band += delta
-            # trailing in/del does not widen the band (edits.rs:523-526)
-            if k == n - 1 and (pos == cons_len or (delta > 0 and pos + delta == cons_len)):
-                continue
-            max_bw = max(max_bw, abs(band - mean_shift))
+        if pos[0] > 0:
+            max_bw = abs(mean_shift)
+        # trailing in/del does not widen the band (edits.rs:523-526)
+        last_trailing = pos[-1] == cons_len or (delta[-1] > 0 and pos[-1] + delta[-1] == cons_len)
+        head_max = int(dev[:-1].max()) if n > 1 else 0
+        max_bw = max(max_bw, head_max)
+        if not last_trailing:
+            max_bw = max(max_bw, int(dev[-1]))
         return max_bw
 
     # ------------------------------------------------------- consensus updates
@@ -250,34 +284,67 @@ class Edit:
     def reconcile_substitution_with_consensus(self, sub: Sub, original: str) -> None:
         """Adjust this edit when the consensus char at sub.pos changes to sub.alt
         (edits.rs:186-243). `original` is the pre-change consensus char."""
-        at_pos = [s for s in self.subs if s.pos == sub.pos]
-        if len(at_pos) == 0:
-            if not self.is_position_deleted(sub.pos):
-                self.subs.append(Sub(sub.pos, original))
-                self.subs.sort(key=lambda s: s.pos)
-        elif len(at_pos) == 1:
-            if self.is_position_deleted(sub.pos):
-                raise ValueError(f"Position {sub.pos}: both substitution and deletion present")
-            if at_pos[0].alt == sub.alt:
-                self.subs = [s for s in self.subs if not (s.pos == sub.pos and s.alt == sub.alt)]
+        self.reconcile_substitutions_with_consensus([sub], [original])
+
+    def reconcile_substitutions_with_consensus(self, subs: list, originals: list) -> None:
+        """Batch form of the consensus-flip reconciliation: one pass over this
+        edit's subs/dels for any number of consensus changes (positions are
+        distinct — majority votes are per-position). Semantics per position
+        match edits.rs:186-243 exactly."""
+        if not subs:
+            return
+        by_pos = {}
+        for s in self.subs:
+            if s.pos in by_pos:
+                raise ValueError(f"Position {s.pos}: conflicting substitutions")
+            by_pos[s.pos] = s
+        if self.dels:
+            d_pos = np.array([d.pos for d in self.dels], dtype=np.int64)
+            d_end = d_pos + np.array([d.len for d in self.dels], dtype=np.int64)
+            order = np.argsort(d_pos, kind="stable")
+            d_pos, d_end = d_pos[order], d_end[order]
+            ps = np.array([s.pos for s in subs], dtype=np.int64)
+            j = np.searchsorted(d_pos, ps, side="right") - 1
+            deleted = (j >= 0) & (ps < d_end[np.maximum(j, 0)])
         else:
-            raise ValueError(f"Position {sub.pos}: conflicting substitutions {at_pos}")
+            deleted = np.zeros(len(subs), dtype=bool)
+        changed = False
+        for k, (sub, original) in enumerate(zip(subs, originals)):
+            cur = by_pos.get(sub.pos)
+            if cur is None:
+                if not deleted[k]:
+                    by_pos[sub.pos] = Sub(sub.pos, original)
+                    changed = True
+            else:
+                if deleted[k]:
+                    raise ValueError(f"Position {sub.pos}: both substitution and deletion present")
+                if cur.alt == sub.alt:
+                    del by_pos[sub.pos]
+                    changed = True
+        if changed:
+            self.subs = [by_pos[p] for p in sorted(by_pos)]
 
     # ----------------------------------------------------------------- checks
     def sanity_check(self, length: int) -> None:
         # edits.rs:569+: bounds, no double subs, no sub-in-del, no zero/overlapping
         # dels, ins bounds 0..=length
-        seen = set()
-        for s in self.subs:
-            if not (0 <= s.pos < length):
-                raise ValueError(f"Sub position {s.pos} out of bounds (len {length})")
-            if s.alt == "-":
+        if self.subs:
+            ps = np.array([s.pos for s in self.subs], dtype=np.int64)
+            if (ps < 0).any() or (ps >= length).any():
+                raise ValueError(f"Sub position out of bounds (len {length})")
+            if any(s.alt == "-" for s in self.subs):
                 raise ValueError("Substitution with '-' is not allowed")
-            if s.pos in seen:
-                raise ValueError(f"Two substitutions at position {s.pos}")
-            seen.add(s.pos)
-            if self.is_position_deleted(s.pos):
-                raise ValueError(f"Substitution at deleted position {s.pos}")
+            uniq = np.unique(ps)
+            if len(uniq) != len(ps):
+                raise ValueError("Two substitutions at the same position")
+            if self.dels:
+                d_pos = np.array([d.pos for d in self.dels], dtype=np.int64)
+                d_end = d_pos + np.array([d.len for d in self.dels], dtype=np.int64)
+                order = np.argsort(d_pos, kind="stable")
+                d_pos, d_end = d_pos[order], d_end[order]
+                j = np.searchsorted(d_pos, ps, side="right") - 1
+                if ((j >= 0) & (ps < d_end[np.maximum(j, 0)])).any():
+                    raise ValueError("Substitution at deleted position")
         dels = sorted(self.dels, key=lambda d: d.pos)
         for k, d in enumerate(dels):
             if d.len == 0:

@@ -137,15 +137,27 @@ class Block:
     def change_consensus_nucleotide_at_pos(self, sub) -> None:
         """Flip one consensus char and reconcile all alignments
         (pangraph_block.rs:260-293)."""
-        if sub.pos >= self.consensus_len():
-            raise ValueError(f"Position {sub.pos} out of bounds")
-        original = chr(int(self.consensus[sub.pos]))
-        if original == sub.alt:
-            raise ValueError(f"Consensus already has {sub.alt!r} at {sub.pos}")
+        self.apply_majority_substitutions([sub])
+
+    def apply_majority_substitutions(self, subs: list) -> None:
+        """Flip many consensus chars and reconcile every alignment in one
+        pass per node (batch form of pangraph_block.rs:260-293; positions are
+        distinct per the majority vote)."""
+        if not subs:
+            return
+        L = self.consensus_len()
+        originals = []
         self.consensus = self.consensus.copy()
-        self.consensus[sub.pos] = ord(sub.alt)
+        for sub in subs:
+            if sub.pos >= L:
+                raise ValueError(f"Position {sub.pos} out of bounds")
+            original = chr(int(self.consensus[sub.pos]))
+            if original == sub.alt:
+                raise ValueError(f"Consensus already has {sub.alt!r} at {sub.pos}")
+            originals.append(original)
+            self.consensus[sub.pos] = ord(sub.alt)
         for e in self.alignments.values():
-            e.reconcile_substitution_with_consensus(sub, original)
+            e.reconcile_substitutions_with_consensus(subs, originals)
 
 
 @dataclass

@@ -52,10 +52,12 @@ class MeshBatchAligner:
         return self.inner(ref, seqs, bands)
 
 
-def sharded_stripe_round(n_devices: int, R_pad: int = 256, B: int = 128) -> None:
-    """One data-parallel alignment round over an n-device mesh: build tiny
-    per-job inputs, shard the job axis, jit + run the full kernel step.
-    Used by the driver's multi-chip dry run."""
+def sharded_stripe_round(n_devices: int, R_cap: int = 1024, B: int = 128) -> None:
+    """One data-parallel alignment round over an n-device mesh, on the
+    production v2 kernel: shard_map over the job axis runs one Pallas stripe
+    DP + traceback per shard (no collectives in the hot loop), then a psum
+    across the mesh exercises the collective used by distributed reconsensus
+    majority voting. Used by the driver's multi-chip dry run."""
     import os
 
     # multi-chip hardware is not attached in this environment: force the
@@ -69,31 +71,53 @@ def sharded_stripe_round(n_devices: int, R_pad: int = 256, B: int = 128) -> None
     except Exception:
         pass
 
-    from pangraph_tpu.ops.stripe_tpu import stripe_batch
+    from jax.experimental.shard_map import shard_map
+
+    from pangraph_tpu.ops.stripe_v2 import G, stripe_align_v2
 
     mesh = make_mesh(n_devices)
-    batch = 2 * n_devices
+    batch = G * n_devices  # one kernel group per device
+    K = 128
     rng = np.random.default_rng(0)
-    ref_mask = rng.integers(1, 15, (batch, R_pad), dtype=np.uint8)
-    qry_mask = rng.integers(1, 15, (batch, R_pad + B), dtype=np.uint8)
-    rlen = np.full((batch,), R_pad // 2, dtype=np.int32)
-    qlen = np.full((batch,), R_pad // 2 - 3, dtype=np.int32)
-    ms = np.zeros((batch,), dtype=np.int32)
-    W = np.full((batch,), (B - 2) // 2, dtype=np.int32)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    n = 700  # crosses multiple DP chunks
+    ref_seq = np.zeros((batch, R_cap), np.uint8)
+    qry_seq = np.zeros((batch, R_cap + B), np.uint8)
+    rlen = np.zeros(batch, np.int32)
+    qlen = np.zeros(batch, np.int32)
+    for s in range(batch):
+        r = ACGT[rng.integers(0, 4, n)]
+        q = r.copy()
+        idx = rng.choice(n, 12, replace=False)
+        q[idx] = ACGT[rng.integers(0, 4, 12)]
+        ref_seq[s, :n] = r
+        qry_seq[s, :n] = q
+        rlen[s], qlen[s] = n, n
+    ms = np.zeros(batch, np.int32)
+    W = np.full(batch, (B - 2) // 2, np.int32)
+    gmax = rlen.reshape(-1, G).max(axis=1).astype(np.int32)
 
-    job_sharding = NamedSharding(mesh, P("jobs"))
-    args = [
-        jax.device_put(a, NamedSharding(mesh, P("jobs", *([None] * (a.ndim - 1)))))
-        for a in (ref_mask, qry_mask, rlen, qlen, ms, W)
-    ]
+    def step(ref_seq, qry_seq, rlen, qlen, ms, W, gmax):
+        out = stripe_align_v2(ref_seq, qry_seq, rlen, qlen, ms, W, gmax, R_cap, B, K)
+        # collective: global event count across the mesh (the same psum shape
+        # distributed reconsensus majority voting uses)
+        total = jax.lax.psum(jnp.sum(out["n_events"]), "jobs")
+        return out["meta"], out["n_events"], total
 
+    jobs = P("jobs")
+    rep = P()
     fn = jax.jit(
-        functools.partial(stripe_batch, R_pad=R_pad, B=B),
-        in_shardings=[NamedSharding(mesh, P("jobs", *([None] * (a.ndim - 1)))) for a in args],
-        out_shardings=NamedSharding(mesh, P("jobs")),
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(jobs, jobs, jobs, jobs, jobs, jobs, jobs),
+            out_specs=(jobs, jobs, rep),
+            check_rep=False,
+        )
     )
-    paths, h_last = fn(*args)
-    paths.block_until_ready()
-    assert paths.shape == (batch, R_pad, B)
-    # sanity: every problem produced a nonzero traceback row
-    assert bool((np.asarray(h_last) > -1_000_000).any())
+    meta, n_events, total = fn(ref_seq, qry_seq, rlen, qlen, ms, W, gmax)
+    jax.block_until_ready((meta, n_events, total))
+    assert meta.shape == (batch, 4)
+    meta_h = np.asarray(meta)
+    assert not meta_h[:, 1].any(), "dead walks in dry run"
+    assert int(np.asarray(total)) == int(np.asarray(n_events).sum())
