@@ -342,12 +342,21 @@ def _edit_from_rle(ops, n_ops, subs, n_subs, lead_ins, qry) -> Edit:
 
 
 class TpuBatchAligner:
-    """Batched aligner backed by the JAX stripe kernel."""
+    """Batched aligner backed by the JAX stripe kernel.
 
-    def __init__(self, params: BandedAlignParams = None, extra_band_width: int = 5, max_attempts: int = 4):
+    With `mesh` set (jax.sharding.Mesh over a 'jobs' axis), every bucket
+    batch is sharded data-parallel across the mesh via shard_map — each chip
+    runs the Pallas stripe kernel on its job shard with no collectives in the
+    hot loop (the TPU mapping of the reference's rayon pools, SURVEY.md §2.4)."""
+
+    def __init__(
+        self, params: BandedAlignParams = None, extra_band_width: int = 5, max_attempts: int = 4, mesh=None
+    ):
         self.params = params or BandedAlignParams()
         self.extra = extra_band_width
         self.max_attempts = max_attempts
+        self.mesh = mesh
+        self._sharded_cache = {}
 
     def align_many(self, jobs: list) -> list:
         """jobs: list of AlignJob (or (ref, qry, band) tuples). Returns Edits
@@ -443,9 +452,10 @@ class TpuBatchAligner:
             idxs = sorted(idxs, key=lambda i: -len(jobs[i].ref))
             # event capacity: scale with problem size (pow2 ladder); kbumps
             # raise it for jobs whose previous attempt overflowed
+            gran = G * self.mesh.devices.size if self.mesh is not None else G
             for c0 in range(0, len(idxs), M):
                 sub = idxs[c0 : c0 + M]
-                m_pad = ((len(sub) + G - 1) // G) * G
+                m_pad = ((len(sub) + gran - 1) // gran) * gran
                 max_len = max(max(len(jobs[i].ref), len(jobs[i].qry)) for i in sub)
                 bump = max(kbumps[i] for i in sub)
                 K = _cover_pow2(max(512, 512 + max_len // 64) * bump, 65536)
@@ -464,7 +474,10 @@ class TpuBatchAligner:
                     qlen[s] = len(j.qry)
                     msv[s] = j.band.mean_shift
                 gmax = rlen.reshape(-1, G).max(axis=1).astype(np.int32)
-                out = stripe_align_v2(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K)
+                if self.mesh is not None:
+                    out = self._sharded_align(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K)
+                else:
+                    out = stripe_align_v2(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K)
                 packed = _pack_v2(out)
                 launched.append((sub, K, packed))
 
@@ -718,6 +731,34 @@ class TpuBatchAligner:
             else:
                 boundary[i] = hb
                 edits[i] = e
+
+    def _sharded_align(self, ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap: int, B: int, K: int):
+        """Run one bucket batch sharded over the mesh's 'jobs' axis: each
+        device executes the Pallas stripe kernel on its shard (m_pad is
+        padded to a multiple of G * n_devices)."""
+        import functools
+
+        import jax
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from pangraph_tpu.ops.stripe_v2 import stripe_align_v2
+
+        key = (R_cap, B, K, ref_seq.shape[0])
+        fn = self._sharded_cache.get(key)
+        if fn is None:
+            jobs_p = P("jobs")
+            fn = jax.jit(
+                shard_map(
+                    functools.partial(stripe_align_v2, R_cap=R_cap, B=B, K=K),
+                    mesh=self.mesh,
+                    in_specs=(jobs_p,) * 7,
+                    out_specs={"rows": jobs_p, "words": jobs_p, "n_events": jobs_p, "meta": jobs_p},
+                    check_rep=False,
+                )
+            )
+            self._sharded_cache[key] = fn
+        return fn(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax)
 
     def _host_fallback(self, job: AlignJob) -> Edit:
         from pangraph_tpu.align.map_variations import map_variations

@@ -33,23 +33,13 @@ def shard_jobs(mesh: Mesh, *arrays, axis: str = "jobs"):
     return [jax.device_put(a, sharding) for a in arrays]
 
 
-class MeshBatchAligner:
-    """TpuBatchAligner variant that shards each bucket batch across a mesh.
+def make_mesh_aligner(n_devices: int = None, params=None, extra_band_width: int = 5, max_attempts: int = 4):
+    """A TpuBatchAligner whose bucket batches are sharded data-parallel over
+    a 'jobs' device mesh (shard_map; one Pallas kernel instance per chip)."""
+    from pangraph_tpu.ops.batch_align import TpuBatchAligner
 
-    Pads the job axis to a multiple of the mesh size, then runs the same
-    bucketed kernel; XLA executes each shard on its own chip.
-    """
-
-    def __init__(self, mesh: Mesh, inner):
-        self.mesh = mesh
-        self.inner = inner
-        inner._mesh = mesh  # batch_align checks for _mesh to shard inputs
-
-    def align_many(self, jobs):
-        return self.inner.align_many(jobs)
-
-    def __call__(self, ref, seqs, bands):
-        return self.inner(ref, seqs, bands)
+    mesh = make_mesh(n_devices)
+    return TpuBatchAligner(params, extra_band_width, max_attempts, mesh=mesh)
 
 
 def sharded_stripe_round(n_devices: int, R_cap: int = 1024, B: int = 128) -> None:
