@@ -375,9 +375,10 @@ class TpuBatchAligner:
             )
             next_pending = []
             for slot, idx in enumerate(pending):
-                retry = (boundary[slot] or overflow[slot]) and attempt < self.max_attempts
+                can_widen = boundary[slot] and widths[idx] < (self.MAX_B - 2) // 2
+                retry = (can_widen or overflow[slot]) and attempt < self.max_attempts
                 if retry:
-                    if boundary[slot]:
+                    if can_widen:
                         widths[idx] = max(2 * widths[idx], max(1, abs(jobs[idx].band.mean_shift)))
                     if overflow[slot]:
                         kbumps[idx] *= 4  # divergent pair: raise event capacity
@@ -399,6 +400,7 @@ class TpuBatchAligner:
     R_TIERS = (4096, 16384, 65536, 131072, 262144, 524288, 1048576, 2097152, 4194304)
     TIER_BYTES = 256 * 1024 * 1024
     V2_BYTES = 2 * 1024 * 1024 * 1024  # paths-buffer budget for the v2 kernel
+    MAX_B = 1024  # widest kernel band bucket (bands beyond this are clamped)
     backend = "v2"  # "v2" | "pallas" | "fused" | "chunked"
 
     def _tier_batch(self, R_cap: int, B: int) -> int:
@@ -434,13 +436,23 @@ class TpuBatchAligner:
         boundary = [False] * n
         overflow = [False] * n
         groups = {}
+        max_w = (self.MAX_B - 2) // 2
         for i, W in enumerate(widths):
             j = jobs[i]
-            W_eff = max(W, abs(len(j.qry) - len(j.ref) + j.band.mean_shift) + 1)
+            corner = abs(len(j.qry) - len(j.ref) + j.band.mean_shift) + 1
+            W_eff = max(W, corner)
+            # clamp to the kernel's widest band and accept the boundary-capped
+            # alignment: still a valid edit path (the roundtrip oracle holds),
+            # just band-limited. The reference errors out here instead once
+            # band area exceeds max_band_area (params.rs:152) — clamping is
+            # strictly more robust, and wide-band jobs stay off the slow host.
+            W_eff = min(W_eff, max_w)
             B = _bucket_b(W_eff)  # multiple of DP_C=128, as the DP requires
             L = max(len(j.ref), len(j.qry))
             tier = next((t for t in self.R_TIERS if t >= L + 2), None)
-            if tier is None or B > 1024:
+            if tier is None or corner > max_w:
+                # beyond the largest tier, or length mismatch so large the end
+                # corner can't sit inside the widest band
                 edits[i] = self._host_fallback(j)
                 continue
             groups.setdefault((tier, B), []).append(i)

@@ -186,3 +186,25 @@ def test_native_chain_matches_numpy():
     c2, s2 = chain_anchors(rpos, qpos, p)
     assert s1 == s2
     assert all((a == b).all() for a, b in zip(c1, c2))
+
+
+def test_junction_context_gfa(an):
+    from pangraph_tpu.analysis.junctions import BackboneJunctions
+    from pangraph_tpu.analysis.junctions_gfa import junction_context_gfa, write_junction_gfa
+
+    bj = BackboneJunctions(an, L_thr=100)
+    for scaffold in ("all", "consensus"):
+        segments, links, depths, prefix_map = junction_context_gfa(bj, scaffold)
+        assert set(depths) == set(segments)
+        for n1, _, n2, _ in links:
+            assert n1 in segments and n2 in segments
+    # isolate scaffold: any strain name works
+    iso = bj.g.strains()[0]
+    segments, links, depths, prefix_map = junction_context_gfa(bj, iso)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "junctions.gfa")
+        write_junction_gfa(p, segments, links, depths)
+        text = open(p).read()
+    assert text.startswith("H\tVN:Z:1.0")
+    assert text.count("\nS\t") == len(segments)
