@@ -135,7 +135,7 @@ def _dp_kernel(
         qm = jnp.concatenate([r[:].astype(jnp.int32) for r in qsh_refs], axis=1)  # [G, WN]
         ref_val = ref_chunk_ref[:]  # [G, C] int32
 
-        KR = 32  # rows per aligned int16 store
+        KR = 16  # rows per aligned int16 store (fully unrolled per block)
 
         # loop invariants hoisted out of the row body
         qpos1 = qpos >= 1
@@ -146,7 +146,7 @@ def _dp_kernel(
         lane0 = lane == 0
 
         def row_body(j, carry):
-            H_prev, qgap, run_prev, ref_rot, acc = carry
+            H_prev, qgap, run_prev, ref_rot = carry
             i = c * C + j + 1
             inband = (lane >= j) & (lane < j + B)
             in_matrix = q_ok & (i <= rlen_v) & inband
@@ -216,18 +216,19 @@ def _dp_kernel(
             H_out = jnp.where(live, H, H_prev)
             qg_out = jnp.where(live, new_qgap, qgap)
             run_out = jnp.where(live, run, run_prev)
-            acc = jnp.concatenate([acc[:, 1:, :], rec16[:, None, :]], axis=1)
-            return H_out, qg_out, run_out, ref_rot, acc
+            return (H_out, qg_out, run_out, ref_rot), rec16
 
         def block_body(rg, carry):
-            H_prev, qgap, run_prev, ref_rot = carry
-            acc0 = jnp.zeros((G, KR, WN), dtype=jnp.int16)
-            H_prev, qgap, run_prev, ref_rot, acc = jax.lax.fori_loop(
-                rg * KR, rg * KR + KR, row_body, (H_prev, qgap, run_prev, ref_rot, acc0)
-            )
+            # fully unrolled KR-row block: rows collected in registers and
+            # written with ONE aligned store (the old per-row shift-concat
+            # accumulator copied the whole block every row)
+            rows = []
+            for u in range(KR):
+                carry, rec16 = row_body(rg * KR + u, carry)
+                rows.append(rec16)
             idx = pl.multiple_of(rg * KR, KR)
-            paths_ref[:, pl.ds(idx, KR), :] = acc
-            return H_prev, qgap, run_prev, ref_rot
+            paths_ref[:, pl.ds(idx, KR), :] = jnp.stack(rows, axis=1)
+            return carry
 
         H_fin, qg_fin, run_fin, _ = jax.lax.fori_loop(
             0, C // KR, block_body, (H_ref[:], qg_ref[:], run_ref[:], ref_val)
