@@ -268,7 +268,17 @@ class MergePromise:
                 seq = revcomp(seq)
                 edits = edits.reverse_complement(append_len)
             band = BandParameters.from_edits(edits, append_len).add(cigar_band)
-            jobs.append((node_id, seq, band))
+            # event-capacity hint for the aligner: expected indel event rows
+            # (deleted positions + insertion runs from the prior edits and the
+            # anchor<->append cigar) — avoids an overflow retry round on
+            # divergent pairs
+            hint = (
+                sum(d.len for d in edits.dels)
+                + len(edits.inss)
+                + sum(d.len for d in cigar_edits.dels)
+                + len(cigar_edits.inss)
+            )
+            jobs.append((node_id, seq, band, hint))
         return jobs, presolved
 
     def finish(self, results: dict) -> Block:
@@ -287,15 +297,17 @@ class MergePromise:
         jobs, results = self.collect_jobs()
         if jobs:
             if aligner is not None:
-                edits_list = aligner(self.anchor_block.consensus, [s for _, s, _ in jobs], [b for _, _, b in jobs])
+                edits_list = aligner(
+                    self.anchor_block.consensus, [s for _, s, _, _ in jobs], [b for _, _, b, _ in jobs]
+                )
             else:
                 edits_list = [
                     map_variations(
                         self.anchor_block.consensus, seq, band, args.banded_params, args.extra_band_width
                     )
-                    for _, seq, band in jobs
+                    for _, seq, band, _ in jobs
                 ]
-            for (node_id, _, _), e in zip(jobs, edits_list):
+            for (node_id, _, _, _), e in zip(jobs, edits_list):
                 results[node_id] = e
         return self.finish(results)
 

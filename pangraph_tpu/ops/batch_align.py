@@ -35,6 +35,7 @@ class AlignJob:
     ref: np.ndarray  # uint8 sequence
     qry: np.ndarray
     band: BandParameters
+    hint_events: int = 0  # expected indel event rows (sizes the event buffer)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -469,8 +470,9 @@ class TpuBatchAligner:
                 sub = idxs[c0 : c0 + M]
                 m_pad = ((len(sub) + gran - 1) // gran) * gran
                 max_len = max(max(len(jobs[i].ref), len(jobs[i].qry)) for i in sub)
+                max_hint = max(jobs[i].hint_events for i in sub)
                 bump = max(kbumps[i] for i in sub)
-                K = _cover_pow2(max(512, 512 + max_len // 64) * bump, 65536)
+                K = _cover_pow2(max(512, 512 + max_len // 64, 2 * max_hint) * bump, 65536)
                 Wq = R_cap + B
                 ref_seq = np.zeros((m_pad, R_cap), dtype=np.uint8)
                 qry_seq = np.zeros((m_pad, Wq), dtype=np.uint8)
