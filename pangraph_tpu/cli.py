@@ -16,6 +16,7 @@ def _add_verbosity(p):
     p.add_argument("-v", "--verbose", action="count", default=0, help="Increase verbosity")
     p.add_argument("-q", "--quiet", action="count", default=0, help="Decrease verbosity")
     p.add_argument("--verbosity", default=None, help="Set verbosity level explicitly")
+    p.add_argument("--silent", action="store_true", help="Disable all console output")
     p.add_argument("-j", "--jobs", type=int, default=None, help="Number of host threads (advisory)")
 
 
@@ -117,7 +118,11 @@ def build_parser():
 def _setup_logging(args):
     level = logging.WARNING
     v = getattr(args, "verbose", 0) - getattr(args, "quiet", 0)
-    if v >= 2:
+    if getattr(args, "silent", False):
+        level = logging.CRITICAL
+    elif getattr(args, "verbosity", None):
+        level = getattr(logging, str(args.verbosity).upper(), logging.WARNING)
+    elif v >= 2:
         level = logging.DEBUG
     elif v == 1:
         level = logging.INFO
