@@ -104,17 +104,23 @@ class Block:
         return out
 
     def find_majority_deletions(self) -> list:
-        from collections import Counter
         from pangraph_tpu.graph.edits import Del
-        from pangraph_tpu.utils.intervals import positions_to_intervals
 
-        counts = Counter()
+        L = self.consensus_len()
+        # difference-array coverage count over all deletion runs
+        diff = np.zeros(L + 1, dtype=np.int64)
         for e in self.alignments.values():
             for d in e.dels:
-                for p in range(d.pos, d.end):
-                    counts[p] += 1
-        majority = [p for p, c in counts.items() if self.is_majority(c)]
-        return [Del(iv.start, len(iv)) for iv in positions_to_intervals(majority)]
+                diff[d.pos] += 1
+                diff[min(d.end, L)] -= 1
+        cov = np.cumsum(diff[:L])
+        maj = cov > self.depth() // 2
+        if not maj.any():
+            return []
+        # maximal runs of majority-deleted positions
+        edges = np.flatnonzero(np.diff(np.concatenate([[0], maj.view(np.int8), [0]])))
+        starts, ends = edges[::2], edges[1::2]
+        return [Del(int(s), int(t - s)) for s, t in zip(starts, ends)]
 
     def find_majority_insertions(self) -> list:
         from collections import Counter
