@@ -77,6 +77,46 @@ class MergeCheckpointer:
         graph.to_file(tmp)
         os.replace(tmp, p)
 
+    # ------------------------------------------------- cross-process claims
+    # The checkpoint directory doubles as the coordination medium for
+    # multi-host builds: workers on a shared filesystem claim merges with
+    # O_EXCL marker files and poll for the claimed merge's checkpoint. This
+    # is the DCN-level merge-tree distribution of SURVEY.md §5 (subgraph
+    # JSONs between merge levels); each worker drives its own TPU slice.
+
+    def try_claim(self, leaf_names, stale_s: float = 3600.0) -> bool:
+        import os
+        import time
+
+        p = os.path.join(self.dir, f"claim-{self.fingerprint(leaf_names)}")
+        while True:
+            try:
+                fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return True
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(p) > stale_s:
+                        os.unlink(p)  # dead worker: take over
+                        continue
+                except OSError:
+                    continue
+                return False
+
+    def wait_for(self, leaf_names, poll_s: float = 0.25, timeout_s: float = None):
+        """Block until another worker's checkpoint for this clade appears."""
+        import time
+
+        t0 = time.time()
+        while True:
+            g = self.load(leaf_names)
+            if g is not None:
+                return g
+            if timeout_s is not None and time.time() - t0 > timeout_s:
+                raise TimeoutError(f"timed out waiting for merge checkpoint ({len(leaf_names)} leaves)")
+            time.sleep(poll_s)
+
 
 def build(records, args: BuildArgs, aligner=None, find_matches_override=None, progress=None) -> Pangraph:
     """records: list of FastaRecord. Returns the merged pangenome graph."""
@@ -151,11 +191,15 @@ def build(records, args: BuildArgs, aligner=None, find_matches_override=None, pr
             if clade.is_leaf():
                 clade.data = graphs[clade.data]
                 continue
-            left, right = clade.left.data, clade.right.data
-            log.info("merging graphs (%d + %d paths)", len(left.paths), len(right.paths))
-            clade.data = merge_graphs(left, right, args, find_matches, aligner)
-            if ckpt:
-                ckpt.save(leaf_names[id(clade)], clade.data)
+            coordinate = ckpt is not None and getattr(args, "coordinate", False)
+            if coordinate and not ckpt.try_claim(leaf_names[id(clade)]):
+                clade.data = ckpt.wait_for(leaf_names[id(clade)])
+            else:
+                left, right = clade.left.data, clade.right.data
+                log.info("merging graphs (%d + %d paths)", len(left.paths), len(right.paths))
+                clade.data = merge_graphs(left, right, args, find_matches, aligner)
+                if ckpt:
+                    ckpt.save(leaf_names[id(clade)], clade.data)
             clade.left.data = clade.right.data = None  # free child graphs
             done += 1
             log.info("merge %d/%d complete -> %d blocks", done, n_merges, len(clade.data.blocks))
@@ -215,12 +259,17 @@ def _merge_tree_parallel(
     n_merges = len(internals)
     done = 0
 
+    coordinate = ckpt is not None and getattr(args, "coordinate", False)
+
     def run(c):
-        g = merge_graphs(c.left.data, c.right.data, args, find_matches, aligner)
+        if coordinate and not ckpt.try_claim(leaf_names[id(c)]):
+            g = ckpt.wait_for(leaf_names[id(c)])
+        else:
+            g = merge_graphs(c.left.data, c.right.data, args, find_matches, aligner)
+            if ckpt is not None:
+                ckpt.save(leaf_names[id(c)], g)
         c.left.data = c.right.data = None
         c.data = g
-        if ckpt is not None:
-            ckpt.save(leaf_names[id(c)], g)
         return c
 
     with cf.ThreadPoolExecutor(max_workers=jobs) as ex:

@@ -46,6 +46,11 @@ def build_parser():
         default=None,
         help="Directory for merge-tree checkpoints; an interrupted build resumes from completed subgraphs",
     )
+    b.add_argument(
+        "--coordinate",
+        action="store_true",
+        help="Claim merges via the checkpoint dir so multiple workers (hosts) can share one build",
+    )
     b.add_argument("--no-tpu", action="store_true", help="Run alignment kernels on host instead of TPU")
     b.add_argument("--trace", action="store_true", help="Log per-phase wall-time breakdown at the end")
     b.add_argument("--no-progress-bar", action="store_true")
@@ -173,6 +178,7 @@ def _cmd_build(args) -> int:
         guide_tree=args.guide_tree,
         jobs=args.jobs or 1,
         checkpoint_dir=args.checkpoint_dir,
+        coordinate=args.coordinate,
         aln_args=AlignmentArgs(
             indel_len_threshold=args.indel_len_threshold,
             alpha=args.alpha,

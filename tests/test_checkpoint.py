@@ -56,3 +56,36 @@ def test_checkpoint_parallel_schedule(plasmids, tmp_path):
 
     g2 = build(plasmids, args, find_matches_override=boom)
     assert g1.to_json() == g2.to_json()
+
+
+def _coord_worker(d, q):
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from pangraph_tpu.align.params import BuildArgs
+    from pangraph_tpu.build.build import build
+    from pangraph_tpu.io.fasta import read_fasta
+
+    recs = read_fasta("/root/reference/data/russian_doll_plasmids.fa.gz")
+    g = build(recs, BuildArgs(circular=True, checkpoint_dir=d, coordinate=True, jobs=2))
+    q.put(g.to_json())
+
+
+def test_coordinated_multiworker_build(plasmids, tmp_path):
+    """Two processes sharing a checkpoint dir claim disjoint merges and
+    produce identical graphs (the multi-host merge-tree distribution)."""
+    import multiprocessing as mp
+
+    d = str(tmp_path / "coord")
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    ps = [ctx.Process(target=_coord_worker, args=(d, q)) for _ in range(2)]
+    for p in ps:
+        p.start()
+    outs = [q.get(timeout=600) for _ in ps]
+    for p in ps:
+        p.join()
+    assert outs[0] == outs[1]
