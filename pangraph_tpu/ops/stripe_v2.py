@@ -52,7 +52,7 @@ SCORE_MATCH = 3
 PENALTY_MISMATCH = 1
 GAP_OPEN = 6
 
-G = 8  # problems per group (sublane tile)
+G = 16  # problems per group (two sublane tiles per op)
 RUN_CAP = 1023  # run counter fits in 10 bits of the int16 record
 
 OP_M = 1
