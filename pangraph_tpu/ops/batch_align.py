@@ -358,6 +358,10 @@ class TpuBatchAligner:
         self.max_attempts = max_attempts
         self.mesh = mesh
         self._sharded_cache = {}
+        import threading
+
+        self._mem_lock = threading.Condition()
+        self._mem_outstanding = 0
 
     def align_many(self, jobs: list) -> list:
         """jobs: list of AlignJob (or (ref, qry, band) tuples). Returns Edits
@@ -400,7 +404,8 @@ class TpuBatchAligner:
     # budget so each (R_cap, B) tier compiles exactly once
     R_TIERS = (4096, 16384, 65536, 131072, 262144, 524288, 1048576, 2097152, 4194304)
     TIER_BYTES = 256 * 1024 * 1024
-    V2_BYTES = 2 * 1024 * 1024 * 1024  # paths-buffer budget for the v2 kernel
+    V2_BYTES = 2 * 1024 * 1024 * 1024  # per-batch paths-buffer budget (v2 kernel)
+    HBM_BUDGET = 10 * 1024 * 1024 * 1024  # total outstanding paths bytes across threads
     MAX_B = 1024  # widest kernel band bucket (bands beyond this are clamped)
     backend = "v2"  # "v2" | "pallas" | "fused" | "chunked"
 
@@ -460,7 +465,11 @@ class TpuBatchAligner:
 
         launched = []
         for (R_cap, B), idxs in groups.items():
-            M = max((self.V2_BYTES // (R_cap * B * 4) // G) * G, G)
+            per_problem = R_cap * (B + 128) * 4  # int32 paths bytes
+            g_sz = G
+            while g_sz > 1 and g_sz * per_problem > self.V2_BYTES:
+                g_sz //= 2
+            M = max((self.V2_BYTES // per_problem // g_sz) * g_sz, g_sz)
             M = min(M, 128)
             idxs = sorted(idxs, key=lambda i: -len(jobs[i].ref))
             # event capacity: scale with problem size (pow2 ladder); kbumps
@@ -487,16 +496,20 @@ class TpuBatchAligner:
                     rlen[s] = len(j.ref)
                     qlen[s] = len(j.qry)
                     msv[s] = j.band.mean_shift
-                gmax = rlen.reshape(-1, G).max(axis=1).astype(np.int32)
+                gmax = rlen.reshape(-1, g_sz).max(axis=1).astype(np.int32)
+                batch_bytes = m_pad * R_cap * (B + 128) * 4
+                self._mem_acquire(batch_bytes)
                 if self.mesh is not None:
                     out = self._sharded_align(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K)
                 else:
-                    out = stripe_align_v2(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K)
+                    out = stripe_align_v2(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K, g_sz)
                 packed = _pack_v2(out)
-                launched.append((sub, K, packed))
+                launched.append((sub, K, packed, batch_bytes))
 
-        bufs = jax.device_get([p for _, _, p in launched])
-        for (sub, K, _), buf in zip(launched, bufs):
+        bufs = jax.device_get([p for _, _, p, _ in launched])
+        for bb in (b for _, _, _, b in launched):
+            self._mem_release(bb)
+        for (sub, K, _, _), buf in zip(launched, bufs):
             meta = buf[:, :4]
             n_events = buf[:, 4]
             rows = buf[:, 5 : 5 + K]
@@ -548,7 +561,7 @@ class TpuBatchAligner:
             idxs = sorted(idxs, key=lambda i: -len(jobs[i].ref))
             for c0 in range(0, len(idxs), M):
                 sub = idxs[c0 : c0 + M]
-                m_pad = ((len(sub) + G - 1) // G) * G
+                m_pad = ((len(sub) + g_sz - 1) // g_sz) * g_sz
                 Wq = R_cap + C
                 ref_seq = np.zeros((m_pad, R_cap), dtype=np.uint8)
                 qry_seq = np.zeros((m_pad, Wq), dtype=np.uint8)
@@ -745,6 +758,19 @@ class TpuBatchAligner:
             else:
                 boundary[i] = hb
                 edits[i] = e
+
+    def _mem_acquire(self, nbytes: int) -> None:
+        """Bound total outstanding paths bytes across threads (the parallel
+        merge scheduler dispatches concurrently; HBM is ~16 GB)."""
+        with self._mem_lock:
+            while self._mem_outstanding > 0 and self._mem_outstanding + nbytes > self.HBM_BUDGET:
+                self._mem_lock.wait()
+            self._mem_outstanding += nbytes
+
+    def _mem_release(self, nbytes: int) -> None:
+        with self._mem_lock:
+            self._mem_outstanding -= nbytes
+            self._mem_lock.notify_all()
 
     def _sharded_align(self, ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap: int, B: int, K: int):
         """Run one bucket batch sharded over the mesh's 'jobs' axis: each

@@ -52,8 +52,8 @@ SCORE_MATCH = 3
 PENALTY_MISMATCH = 1
 GAP_OPEN = 6
 
-G = 16  # problems per group (two sublane tiles per op)
-RUN_CAP = 1023  # run counter fits in 10 bits of the int16 record
+G = 16  # default problems per group; large tiers use smaller groups (see g=)
+RUN_CAP = (1 << 24) - 1  # run counter shares an int32 record with 6 origin bits
 
 OP_M = 1
 OP_D = 2
@@ -62,9 +62,9 @@ OP_D = 2
 S_I, S_Q, S_STATE, S_INS, S_DEAD, S_BND = 0, 1, 2, 3, 4, 5
 
 
-def _prefix_max_exclusive(x, WN):
-    """Exclusive running max along lanes of [G, WN] int32."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (G, WN), 1)
+def _prefix_max_exclusive(x, G_, WN):
+    """Exclusive running max along lanes of [G_, WN] int32."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G_, WN), 1)
     y = pltpu.roll(x, 1, axis=1)
     y = jnp.where(lane >= 1, y, NO_ALIGN)
     s = 1
@@ -78,9 +78,9 @@ def _prefix_max_exclusive(x, WN):
 
 def _dp_kernel(
     rlen_ref, qlen_ref, ms_ref, W_ref, gmax_ref,  # SMEM scalars
-    ref_chunk_ref,  # [G, C] int32 ref mask chunk
-    *qsh_and_out,  # WN//C pre-shifted query chunks [G, C] u8, paths out, 3 scratch
-    C: int, B: int,
+    ref_chunk_ref,  # [G_, C] int32 ref mask chunk
+    *qsh_and_out,  # WN//C pre-shifted query chunks [G_, C] u8, paths out, 3 scratch
+    C: int, B: int, G_: int,
 ):
     WN = B + C
     n_q = WN // C
@@ -91,9 +91,9 @@ def _dp_kernel(
     c = pl.program_id(1)
 
     def vec8(ref):
-        sub = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
-        v = jnp.zeros((G, 1), jnp.int32)
-        for j in range(G):
+        sub = jax.lax.broadcasted_iota(jnp.int32, (G_, 1), 0)
+        v = jnp.zeros((G_, 1), jnp.int32)
+        for j in range(G_):
             v = jnp.where(sub == j, ref[g, j], v)
         return v
 
@@ -101,8 +101,8 @@ def _dp_kernel(
     qlen_v = vec8(qlen_ref)
     ms_v = vec8(ms_ref)
     W_v = vec8(W_ref)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (G, WN), 1)
-    clane = jax.lax.broadcasted_iota(jnp.int32, (G, C), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G_, WN), 1)
+    clane = jax.lax.broadcasted_iota(jnp.int32, (G_, C), 1)
 
     # query position of window lane l: q = c*C + 1 + l - ms - W
     qpos = c * C + 1 + lane - ms_v - W_v
@@ -112,8 +112,8 @@ def _dp_kernel(
     def _init():
         # virtual row 0: free leading insertion wherever q is in range
         H_ref[:] = jnp.where(q_ok, 0, NO_ALIGN)
-        qg_ref[:] = jnp.full((G, WN), NO_ALIGN, dtype=jnp.int32)
-        run_ref[:] = jnp.zeros((G, WN), dtype=jnp.int32)
+        qg_ref[:] = jnp.full((G_, WN), NO_ALIGN, dtype=jnp.int32)
+        run_ref[:] = jnp.zeros((G_, WN), dtype=jnp.int32)
 
     @pl.when(c > 0)
     def _shift():
@@ -185,7 +185,7 @@ def _dp_kernel(
 
             gap_cost = jnp.where(i == rlen_v, 0, GAP_OPEN)
             P = jnp.where(in_matrix, NQ - gap_cost, NO_ALIGN)
-            Gv = _prefix_max_exclusive(P, WN)
+            Gv = _prefix_max_exclusive(P, G_, WN)
             Gv = jnp.where(edge_lo | ~in_matrix, NO_ALIGN, Gv)
             path = path | jnp.where(edge_lo & interior, BOUNDARY, 0)
             prevG = pltpu.roll(Gv, 1, axis=1)
@@ -210,13 +210,13 @@ def _dp_kernel(
 
             is_m = (path & MATCH) > 0
             run = jnp.where(is_m & in_matrix, jnp.minimum(run_d + 1, RUN_CAP), 0)
-            rec16 = (path | (run << 6)).astype(jnp.int16)
+            rec32 = path | (run << 6)
 
             live = i <= rlen_v
             H_out = jnp.where(live, H, H_prev)
             qg_out = jnp.where(live, new_qgap, qgap)
             run_out = jnp.where(live, run, run_prev)
-            return (H_out, qg_out, run_out, ref_rot), rec16
+            return (H_out, qg_out, run_out, ref_rot), rec32
 
         def block_body(rg, carry):
             # fully unrolled KR-row block: rows collected in registers and
@@ -224,8 +224,8 @@ def _dp_kernel(
             # accumulator copied the whole block every row)
             rows = []
             for u in range(KR):
-                carry, rec16 = row_body(rg * KR + u, carry)
-                rows.append(rec16)
+                carry, rec32 = row_body(rg * KR + u, carry)
+                rows.append(rec32)
             idx = pl.multiple_of(rg * KR, KR)
             paths_ref[:, pl.ds(idx, KR), :] = jnp.stack(rows, axis=1)
             return carry
@@ -239,26 +239,28 @@ def _dp_kernel(
 
     @pl.when(c * C >= group_max)
     def _skip():
-        paths_ref[:] = jnp.zeros((G, C, WN), dtype=jnp.int16)
+        paths_ref[:] = jnp.zeros((G_, C, WN), dtype=jnp.int32)
 
 
 DP_C = 128  # DP rows per grid chunk
 
 
-def stripe_dp_v2(ref_mask, qsh_mask, rlen, qlen, ms, W, gmax, R_cap: int, B: int):
-    """Banded stripe DP over [n, ...] problem arrays (n % G == 0).
+def stripe_dp_v2(ref_mask, qsh_mask, rlen, qlen, ms, W, gmax, R_cap: int, B: int, g_size: int = G):
+    """Banded stripe DP over [n, ...] problem arrays (n % g_size == 0).
 
     ref_mask [n, R_cap] int32 IUPAC masks; qsh_mask [n, R_cap + B] uint8
     pre-shifted query masks (qsh[t] = qry_mask[t - ms - W]).
-    Returns paths [n, R_cap, B + DP_C] int16: origin bits | run << 6, rows
+    Returns paths [n, R_cap, B + DP_C] int32: origin bits | run << 6, rows
     1..R_cap in window coordinates (row i, band k at lane (i-1) % DP_C + k).
+    g_size = problems per kernel group (smaller groups for memory-bound
+    large tiers; HBM per problem = R_cap * (B + 128) * 4 bytes).
     """
     C = DP_C
     WN = B + C
     n = ref_mask.shape[0]
-    assert n % G == 0 and R_cap % C == 0 and B % C == 0
+    assert n % g_size == 0 and R_cap % C == 0 and B % C == 0
     assert qsh_mask.shape[1] == R_cap + B
-    n_groups = n // G
+    n_groups = n // g_size
     n_chunks = R_cap // C
     grid = (n_groups, n_chunks)
 
@@ -266,27 +268,27 @@ def stripe_dp_v2(ref_mask, qsh_mask, rlen, qlen, ms, W, gmax, R_cap: int, B: int
         return pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def qspec(t):
-        return pl.BlockSpec((G, C), lambda g, c, t=t: (g, c + t), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((g_size, C), lambda g, c, t=t: (g, c + t), memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        functools.partial(_dp_kernel, C=C, B=B),
+        functools.partial(_dp_kernel, C=C, B=B, G_=g_size),
         grid=grid,
         interpret=jax.default_backend() != "tpu",
         in_specs=[smem(), smem(), smem(), smem(), smem()]
-        + [pl.BlockSpec((G, C), lambda g, c: (g, c), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((g_size, C), lambda g, c: (g, c), memory_space=pltpu.VMEM)]
         + [qspec(t) for t in range(WN // C)],
-        out_specs=pl.BlockSpec((G, C, WN), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, R_cap, WN), jnp.int16),
+        out_specs=pl.BlockSpec((g_size, C, WN), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, R_cap, WN), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((G, WN), jnp.int32),
-            pltpu.VMEM((G, WN), jnp.int32),
-            pltpu.VMEM((G, WN), jnp.int32),
+            pltpu.VMEM((g_size, WN), jnp.int32),
+            pltpu.VMEM((g_size, WN), jnp.int32),
+            pltpu.VMEM((g_size, WN), jnp.int32),
         ],
     )(
-        rlen.reshape(n_groups, G),
-        qlen.reshape(n_groups, G),
-        ms.reshape(n_groups, G),
-        W.reshape(n_groups, G),
+        rlen.reshape(n_groups, g_size),
+        qlen.reshape(n_groups, g_size),
+        ms.reshape(n_groups, g_size),
+        W.reshape(n_groups, g_size),
         gmax.reshape(n_groups, 1),
         ref_mask,
         *([qsh_mask] * (WN // C)),
@@ -318,9 +320,8 @@ def _walk_kernel(rlen_ref, qlen_ref, ms_ref, W_ref, paths_ref, rec_ref, meta_ref
 
     msv = ms_ref[g]
     Wv = W_ref[g]
-    W2 = WN // 2  # paths arrive bitcast to int32 (two int16 records per lane)
-    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, W2), 0)
-    laneW = jax.lax.broadcasted_iota(jnp.int32, (8, W2), 1)
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, WN), 0)
+    laneW = jax.lax.broadcasted_iota(jnp.int32, (8, WN), 1)
     sub_r = jax.lax.broadcasted_iota(jnp.int32, (cw // 128, 128), 0)
     lane_r = jax.lax.broadcasted_iota(jnp.int32, (cw // 128, 128), 1)
 
@@ -339,10 +340,8 @@ def _walk_kernel(rlen_ref, qlen_ref, ms_ref, W_ref, paths_ref, rec_ref, meta_ref
         j = i - 1 - c0_dp
         in_band = (l >= j) & (l < j + B) & (l >= 0) & (l < WN)
         slab_at = pl.multiple_of((li >> 3) << 3, 8)
-        slab = paths_ref[0, pl.ds(slab_at, 8), :]  # [8, WN//2] int32
-        word32 = jnp.sum(jnp.where((sub8 == (li & 7)) & (laneW == (l >> 1)), slab, 0))
-        # little-endian int16 pair: even lane in low half, odd in high half
-        word = (word32 >> ((l & 1) * 16)) & 0xFFFF
+        slab = paths_ref[0, pl.ds(slab_at, 8), :]  # [8, WN] int32
+        word = jnp.sum(jnp.where((sub8 == (li & 7)) & (laneW == l), slab, 0))
         word = jnp.where(in_band, word, 0)
         bits = word & 63
         runv = word >> 6
@@ -402,15 +401,12 @@ def walk_v2(paths, rlen, qlen, ms, W, R_cap: int, B: int):
     # pick the walk chunk: bound the VMEM block to ~4 MB, >= 1024 rows so the
     # rec tile (cw//128 multiple of 8) stays aligned, <= R_cap
     cw = 1024
-    while cw * 2 <= min(R_cap, 8192) and cw * 2 * (WN // 2) * 4 <= 4 * 1024 * 1024:
+    while cw * 2 <= min(R_cap, 8192) and cw * 2 * WN * 4 <= 4 * 1024 * 1024:
         cw *= 2
     cw = min(cw, R_cap)
     assert R_cap % cw == 0
     n_chunks = R_cap // cw
     grid = (m, n_chunks)
-
-    # int16 records, int32 lanes for cheap 1-tile dynamic slab loads
-    paths32 = jax.lax.bitcast_convert_type(paths.reshape(m, R_cap, WN // 2, 2), jnp.int32)
 
     rec, meta = pl.pallas_call(
         functools.partial(_walk_kernel, C=C, B=B, cw=cw),
@@ -421,7 +417,7 @@ def walk_v2(paths, rlen, qlen, ms, W, R_cap: int, B: int):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cw, WN // 2), lambda g, c: (g, n_chunks - 1 - c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cw, WN), lambda g, c: (g, n_chunks - 1 - c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, cw // 128, 128), lambda g, c: (g, n_chunks - 1 - c, 0), memory_space=pltpu.VMEM),
@@ -432,7 +428,7 @@ def walk_v2(paths, rlen, qlen, ms, W, R_cap: int, B: int):
             jax.ShapeDtypeStruct((m, 4), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((8,), jnp.int32)],
-    )(rlen, qlen, ms, W, paths32)
+    )(rlen, qlen, ms, W, paths)
     return rec.reshape(m, R_cap), meta
 
 
@@ -450,8 +446,8 @@ def compact_events(rec, meta, K: int):
     return top_rows, words, n_events
 
 
-@functools.partial(jax.jit, static_argnames=("R_cap", "B", "K"))
-def stripe_align_v2(ref_seq, qry_seq, rlen, qlen, ms, W, gmax, R_cap: int, B: int, K: int = 512):
+@functools.partial(jax.jit, static_argnames=("R_cap", "B", "K", "g_size"))
+def stripe_align_v2(ref_seq, qry_seq, rlen, qlen, ms, W, gmax, R_cap: int, B: int, K: int = 512, g_size: int = G):
     """Full device pipeline: DP -> run-jump walk -> event compaction.
 
     ref_seq [m, R_cap] uint8, qry_seq [m, R_cap + 2B] uint8 (raw bytes; IUPAC
@@ -471,7 +467,7 @@ def stripe_align_v2(ref_seq, qry_seq, rlen, qlen, ms, W, gmax, R_cap: int, B: in
     valid = (t >= shift[:, None]) & (t < shift[:, None] + qlen[:, None])
     qsh = jnp.where(valid, rolled, 0).astype(jnp.uint8)
 
-    paths = stripe_dp_v2(ref_mask, qsh, rlen, qlen, ms, W, gmax, R_cap, B)
+    paths = stripe_dp_v2(ref_mask, qsh, rlen, qlen, ms, W, gmax, R_cap, B, g_size)
     rec, meta = walk_v2(paths, rlen, qlen, ms, W, R_cap, B)
     rows, words, n_events = compact_events(rec, meta, K)
     return {"rows": rows, "words": words, "n_events": n_events, "meta": meta}
