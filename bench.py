@@ -106,6 +106,7 @@ def main():
 
     pl_dt, pl_graph = timed_build(plasmids, args_p, aligner, repeats=2)
     sy_dt, sy_graph = timed_build(synth, args_s, aligner, repeats=2)
+    sy1_dt, _ = timed_build(synth, BuildArgs(circular=True, jobs=1), aligner, repeats=1)
 
     # headline: the real bundled dataset (the synthetic set is harder than
     # the reference's E. coli benchmark: every pair ~2% divergent with
@@ -133,6 +134,11 @@ def main():
                         "vs_baseline": round(synth_bp / sy_dt / REFERENCE_BPS, 3),
                         "blocks": len(sy_graph.blocks),
                         "roundtrip": "exact",
+                        "host_scaling": {
+                            "jobs1_wall_s": round(sy1_dt, 2),
+                            "jobs6_wall_s": round(sy_dt, 2),
+                            "speedup": round(sy1_dt / sy_dt, 2),
+                        },
                     },
                     "baseline": "reference pangraph v1: 46 Mbp in ~300 s on 4 CPU cores (BASELINE.md)",
                 },

@@ -761,10 +761,11 @@ class TpuBatchAligner:
 
     def _mem_acquire(self, nbytes: int) -> None:
         """Bound total outstanding paths bytes across threads (the parallel
-        merge scheduler dispatches concurrently; HBM is ~16 GB)."""
+        merge scheduler dispatches concurrently; HBM is ~16 GB). One grant
+        per round; a round larger than the budget proceeds alone."""
         with self._mem_lock:
             while self._mem_outstanding > 0 and self._mem_outstanding + nbytes > self.HBM_BUDGET:
-                self._mem_lock.wait()
+                self._mem_lock.wait(timeout=60.0)
             self._mem_outstanding += nbytes
 
     def _mem_release(self, nbytes: int) -> None:
