@@ -463,18 +463,25 @@ class TpuBatchAligner:
                 continue
             groups.setdefault((tier, B), []).append(i)
 
-        launched = []
+        # plan every sub-batch first, then take ONE memory grant for the whole
+        # round: per-batch grants can deadlock two concurrent rounds that each
+        # wait while holding earlier batches' bytes
+        planned = []  # (sub, g_sz, m_pad, R_cap, B, K, bytes)
         for (R_cap, B), idxs in groups.items():
             per_problem = R_cap * (B + 128) * 4  # int32 paths bytes
             g_sz = G
-            while g_sz > 1 and g_sz * per_problem > self.V2_BYTES:
-                g_sz //= 2
+            while g_sz > 8 and g_sz * per_problem > self.V2_BYTES:
+                g_sz //= 2  # floor at one sublane tile: sub-tile kernels hang Mosaic
+            if g_sz * per_problem > self.HBM_BUDGET // 2:
+                # Mbp-scale tier with a very wide band: even a minimum-size
+                # group would dominate HBM — keep these off the device
+                for i in idxs:
+                    edits[i] = self._host_fallback(jobs[i])
+                continue
             M = max((self.V2_BYTES // per_problem // g_sz) * g_sz, g_sz)
             M = min(M, 128)
             idxs = sorted(idxs, key=lambda i: -len(jobs[i].ref))
-            # event capacity: scale with problem size (pow2 ladder); kbumps
-            # raise it for jobs whose previous attempt overflowed
-            gran = G * self.mesh.devices.size if self.mesh is not None else G
+            gran = g_sz * self.mesh.devices.size if self.mesh is not None else g_sz
             for c0 in range(0, len(idxs), M):
                 sub = idxs[c0 : c0 + M]
                 m_pad = ((len(sub) + gran - 1) // gran) * gran
@@ -482,6 +489,14 @@ class TpuBatchAligner:
                 max_hint = max(jobs[i].hint_events for i in sub)
                 bump = max(kbumps[i] for i in sub)
                 K = _cover_pow2(max(512, 512 + max_len // 64, 2 * max_hint) * bump, 65536)
+                planned.append((sub, g_sz, m_pad, R_cap, B, K, m_pad * per_problem))
+
+        round_bytes = sum(p[-1] for p in planned)
+        if round_bytes:
+            self._mem_acquire(round_bytes)
+        launched = []
+        try:
+            for sub, g_sz, m_pad, R_cap, B, K, _bb in planned:
                 Wq = R_cap + B
                 ref_seq = np.zeros((m_pad, R_cap), dtype=np.uint8)
                 qry_seq = np.zeros((m_pad, Wq), dtype=np.uint8)
@@ -497,19 +512,18 @@ class TpuBatchAligner:
                     qlen[s] = len(j.qry)
                     msv[s] = j.band.mean_shift
                 gmax = rlen.reshape(-1, g_sz).max(axis=1).astype(np.int32)
-                batch_bytes = m_pad * R_cap * (B + 128) * 4
-                self._mem_acquire(batch_bytes)
                 if self.mesh is not None:
                     out = self._sharded_align(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K)
                 else:
                     out = stripe_align_v2(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K, g_sz)
                 packed = _pack_v2(out)
-                launched.append((sub, K, packed, batch_bytes))
+                launched.append((sub, K, packed))
 
-        bufs = jax.device_get([p for _, _, p, _ in launched])
-        for bb in (b for _, _, _, b in launched):
-            self._mem_release(bb)
-        for (sub, K, _, _), buf in zip(launched, bufs):
+            bufs = jax.device_get([p for _, _, p in launched])
+        finally:
+            if round_bytes:
+                self._mem_release(round_bytes)
+        for (sub, K, _), buf in zip(launched, bufs):
             meta = buf[:, :4]
             n_events = buf[:, 4]
             rows = buf[:, 5 : 5 + K]
