@@ -472,6 +472,10 @@ class TpuBatchAligner:
             g_sz = G
             while g_sz > 8 and g_sz * per_problem > self.V2_BYTES:
                 g_sz //= 2  # floor at one sublane tile: sub-tile kernels hang Mosaic
+            # VMEM: the DP out block is (g, 128, B+128) int32, double-buffered;
+            # keep g*(B+128) under ~12k lanes or wide bands blow the 16 MB limit
+            while g_sz > 8 and g_sz * (B + 128) > 12288:
+                g_sz //= 2
             if g_sz * per_problem > self.HBM_BUDGET // 2:
                 # Mbp-scale tier with a very wide band: even a minimum-size
                 # group would dominate HBM — keep these off the device
