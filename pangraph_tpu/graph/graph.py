@@ -89,19 +89,27 @@ class Block:
         return count > self.depth() // 2
 
     def find_majority_substitutions(self) -> list:
-        from collections import Counter, defaultdict
         from pangraph_tpu.graph.edits import Sub
 
-        by_pos = defaultdict(Counter)
+        pos_l, alt_l = [], []
         for e in self.alignments.values():
-            for s in e.subs:
-                by_pos[s.pos][s.alt] += 1
-        out = []
-        for pos in sorted(by_pos):
-            alt, count = max(by_pos[pos].items(), key=lambda kv: (kv[1], kv[0]))
-            if self.is_majority(count):
-                out.append(Sub(pos, alt))
-        return out
+            if e.subs:
+                pos_l.append(np.fromiter((s.pos for s in e.subs), np.int64, len(e.subs)))
+                alt_l.append(np.fromiter((ord(s.alt) for s in e.subs), np.int64, len(e.subs)))
+        if not pos_l:
+            return []
+        pos = np.concatenate(pos_l)
+        alt = np.concatenate(alt_l)
+        uk, counts = np.unique(pos * 256 + alt, return_counts=True)
+        upos, ualt = uk >> 8, uk & 255
+        # per position keep the (count, alt)-max entry: sort by (pos, count,
+        # alt) and take the last row of each pos group (ties -> larger alt,
+        # matching max(kv, key=(count, alt)))
+        order = np.lexsort((ualt, counts, upos))
+        upos, ualt, counts = upos[order], ualt[order], counts[order]
+        last = np.concatenate([upos[1:] != upos[:-1], [True]])
+        sel = last & (counts > self.depth() // 2)
+        return [Sub(int(p), chr(int(a))) for p, a in zip(upos[sel], ualt[sel])]
 
     def find_majority_deletions(self) -> list:
         from pangraph_tpu.graph.edits import Del

@@ -474,8 +474,7 @@ def stripe_align_v2(ref_seq, qry_seq, rlen, qlen, ms, W, gmax, R_cap: int, B: in
 
 
 def edit_from_events(rows, words, n_events, meta, ref: np.ndarray, qry: np.ndarray):
-    """Host decode: event list -> Edit, with substitutions recovered by
-    vectorized compare over the implicit match runs.
+    """Host decode: event list -> Edit, fully vectorized (no per-event loop).
 
     Conventions (edits.rs, map_variations.rs:70-73): Sub.pos / Del.pos are
     0-based reference positions; Ins.pos is the reference position *after*
@@ -493,58 +492,61 @@ def edit_from_events(rows, words, n_events, meta, ref: np.ndarray, qry: np.ndarr
     if dead or n > K:
         return None, False
     rlen, qlen = len(ref), len(qry)
+    q0 = lead + pend_ins  # query chars consumed before any ref row
 
-    subs, dels, inss = [], [], []
-    q = lead + pend_ins  # query chars consumed so far (forward order)
-    if q:
-        inss.append(Ins(0, bytes(qry[:q]).decode()))
-    r = 0  # ref chars consumed
+    if n == 0:
+        if q0 + rlen != qlen:
+            return None, False
+        d = np.nonzero(ref != qry[q0:])[0]
+        subs = [Sub(int(i), chr(int(qry[q0 + i]))) for i in d]
+        inss = [Ins(0, bytes(qry[:q0]).decode())] if q0 else []
+        return Edit(subs=subs, dels=[], inss=inss), True
 
-    def match_run(r0, q0, length):
-        if length <= 0:
-            return
-        a = ref[r0 : r0 + length]
-        b = qry[q0 : q0 + length]
-        for d in np.nonzero(a != b)[0]:
-            subs.append(Sub(r0 + int(d), chr(int(b[d]))))
+    # events arrive in walk order (descending row); flip to forward order
+    xs = rows[:n][::-1].astype(np.int64)
+    ws = words[:n][::-1].astype(np.int64)
+    ops = ws & 3
+    ins_len = ws >> 2
+    is_d = ops == OP_D
 
-    cur_del = None  # [start, len] pending deletion run
-    # events arrive in walk order (descending row); process forward
-    for t in range(n - 1, -1, -1):
-        x, word = int(rows[t]), int(words[t])
-        op = word & 3
-        ins_len = word >> 2
-        gap = x - r  # implicit match rows before this event
-        if gap > 0 or op == OP_M:
-            if cur_del is not None:
-                dels.append(Del(cur_del[0], cur_del[1]))
-                cur_del = None
-        match_run(r, q, gap)
-        r += gap
-        q += gap
-        if op == OP_D:
-            if cur_del is not None and cur_del[0] + cur_del[1] == x:
-                cur_del[1] += 1
-            else:
-                if cur_del is not None:
-                    dels.append(Del(cur_del[0], cur_del[1]))
-                cur_del = [x, 1]
-            r += 1
-        else:  # OP_M: diagonal move at row x (match or substitution)
-            match_run(r, q, 1)
-            r += 1
-            q += 1
-        if ins_len:
-            if cur_del is not None:
-                dels.append(Del(cur_del[0], cur_del[1]))
-                cur_del = None
-            inss.append(Ins(r, bytes(qry[q : q + ins_len]).decode()))
-            q += ins_len
-    if cur_del is not None:
-        dels.append(Del(cur_del[0], cur_del[1]))
-    # trailing pure-match stretch
-    match_run(r, q, rlen - r)
-    q += rlen - r
-    if q != qlen:
+    # per-ref-position bookkeeping: deleted rows, insertion chars attached
+    # after row x (i.e. before ref position x+1)
+    del_mask = np.zeros(rlen + 1, dtype=bool)
+    del_mask[xs[is_d]] = True
+    ins_at = np.zeros(rlen + 1, dtype=np.int64)
+    np.add.at(ins_at, xs + 1, ins_len)
+    nd_excl = np.zeros(rlen + 1, dtype=np.int64)
+    np.cumsum(del_mask[:rlen], out=nd_excl[1:])  # deletions strictly before i
+    ins_cum = np.cumsum(ins_at)  # ins chars attached before position i+1
+    if q0 + (rlen - nd_excl[rlen]) + ins_cum[rlen] != qlen:
         return None, False
+
+    # substitutions: every non-deleted ref position i aligns to query position
+    # q0 + (#non-deleted ref < i) + (#ins chars attached at indices <= i)
+    idx = np.arange(rlen, dtype=np.int64)
+    q_of = q0 + (idx - nd_excl[:rlen]) + ins_cum[:rlen]
+    mi = np.nonzero(~del_mask[:rlen])[0]
+    dif = mi[ref[mi] != qry[q_of[mi]]]
+    subs = [Sub(int(i), chr(int(qry[q_of[i]]))) for i in dif]
+
+    # deletions: runs of consecutive D rows; an insertion attached to a D
+    # event breaks the run after that row
+    dels = []
+    dx = xs[is_d]
+    if len(dx):
+        dins = ins_len[is_d]
+        brk = np.nonzero((np.diff(dx) != 1) | (dins[:-1] > 0))[0]
+        starts = np.concatenate([[0], brk + 1])
+        ends = np.concatenate([brk, [len(dx) - 1]])
+        dels = [Del(int(dx[s]), int(dx[e] - dx[s] + 1)) for s, e in zip(starts, ends)]
+
+    # insertions: event at row x with ins_len k inserts qry[q_op : q_op+k] at
+    # ref position x+1, where q_op = query consumed through the event's op
+    inss = [Ins(0, bytes(qry[:q0]).decode())] if q0 else []
+    it = np.nonzero(ins_len > 0)[0]
+    if len(it):
+        x_it = xs[it]
+        q_op = q0 + (x_it + 1 - nd_excl[x_it + 1]) + ins_cum[x_it]
+        for t, xv, qs in zip(it, x_it, q_op):
+            inss.append(Ins(int(xv) + 1, bytes(qry[int(qs) : int(qs) + int(ins_len[t])]).decode()))
     return Edit(subs=subs, dels=dels, inss=inss), True
