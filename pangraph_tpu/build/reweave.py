@@ -268,15 +268,12 @@ class MergePromise:
                 seq = revcomp(seq)
                 edits = edits.reverse_complement(append_len)
             band = BandParameters.from_edits(edits, append_len).add(cigar_band)
-            # event-capacity hint for the aligner: expected indel event rows
-            # (deleted positions + insertion runs from the prior edits and the
-            # anchor<->append cigar) — avoids an overflow retry round on
-            # divergent pairs
+            # event-capacity hint for the aligner: expected indel RUNS (the
+            # walk emits one event per deletion run / insertion run) from the
+            # prior edits and the anchor<->append cigar — avoids an overflow
+            # retry round on divergent pairs
             hint = (
-                sum(d.len for d in edits.dels)
-                + len(edits.inss)
-                + sum(d.len for d in cigar_edits.dels)
-                + len(cigar_edits.inss)
+                len(edits.dels) + len(edits.inss) + len(cigar_edits.dels) + len(cigar_edits.inss)
             )
             jobs.append((node_id, seq, band, hint))
         return jobs, presolved

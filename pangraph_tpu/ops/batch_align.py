@@ -492,7 +492,10 @@ class TpuBatchAligner:
                 max_len = max(max(len(jobs[i].ref), len(jobs[i].qry)) for i in sub)
                 max_hint = max(jobs[i].hint_events for i in sub)
                 bump = max(kbumps[i] for i in sub)
-                K = _cover_pow2(max(512, 512 + max_len // 64, 2 * max_hint) * bump, 65536)
+                # events are indel RUNS (walk v3 compresses deletion runs), so
+                # the buffer scales with divergence, not length; overflow
+                # triggers a retry with 4x capacity
+                K = _cover_pow2(max(64, 64 + max_len // 256, 2 * max_hint) * bump, 16384)
                 planned.append((sub, g_sz, m_pad, R_cap, B, K, m_pad * per_problem))
 
         round_bytes = sum(p[-1] for p in planned)

@@ -295,13 +295,24 @@ def stripe_dp_v2(ref_mask, qsh_mask, rlen, qlen, ms, W, gmax, R_cap: int, B: int
     )
 
 
-CW = 8192  # walk rows per grid step (8x (8,128) rec tiles)
+# extra walk-state SMEM slots (beyond S_I..S_BND)
+S_DEL, S_IA, S_CNT = 6, 7, 8
 
 
-def _walk_kernel(rlen_ref, qlen_ref, ms_ref, W_ref, paths_ref, rec_ref, meta_ref, st_ref, *, C: int, B: int, cw: int):
-    """Run-jumping traceback. Emits an int32 event word per *event* row only:
-    OP_D, or OP_M | ins_run << 2 (insertion run following the row's move).
-    Pure-match stretches are jumped via the run counters in the DP records."""
+def _walk_kernel(
+    rlen_ref, qlen_ref, ms_ref, W_ref, paths_ref, rows_ref, words_ref, nev_ref, meta_ref, st_ref,
+    *, C: int, B: int, cw: int, K: int,
+):
+    """Run-jumping traceback with direct event-list emission.
+
+    Events are appended to a per-problem SMEM list (rows_ref/words_ref, one
+    block of K int32 each) in walk order (descending row). Deletion runs are
+    compressed into ONE event: word = OP_D | ins_after << 2 | del_len << 17,
+    emitted at the run's lowest ref row (ins_after = the insertion run that
+    follows the deletions in forward order). Match rows emit only when an
+    insertion run trails them: word = OP_M | ins_len << 2. Pure-match
+    stretches are jumped via the run counters in the DP records, so walk cost
+    scales with the number of indel events, not the alignment length."""
     WN = B + C
     g = pl.program_id(0)
     c_rev = pl.program_id(1)
@@ -317,22 +328,21 @@ def _walk_kernel(rlen_ref, qlen_ref, ms_ref, W_ref, paths_ref, rec_ref, meta_ref
         st_ref[S_INS] = 0
         st_ref[S_DEAD] = 0
         st_ref[S_BND] = 0
+        st_ref[S_DEL] = 0
+        st_ref[S_IA] = 0
+        st_ref[S_CNT] = 0
 
     msv = ms_ref[g]
     Wv = W_ref[g]
     sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, WN), 0)
     laneW = jax.lax.broadcasted_iota(jnp.int32, (8, WN), 1)
-    sub_r = jax.lax.broadcasted_iota(jnp.int32, (cw // 128, 128), 0)
-    lane_r = jax.lax.broadcasted_iota(jnp.int32, (cw // 128, 128), 1)
-
-    rec0 = jnp.zeros((cw // 128, 128), jnp.int32)
 
     def cond(carry):
-        i, q, st, ins, dead, bnd, rec = carry
+        i, q, st, ins, dl, ia, cnt, dead, bnd = carry
         return (i > c0) & (dead == 0)
 
     def body(carry):
-        i, q, st, ins, dead, bnd, rec = carry
+        i, q, st, ins, dl, ia, cnt, dead, bnd = carry
         li = i - 1 - c0  # row within walk chunk
         # window lane within the DP chunk holding row i (DP chunks are C rows)
         c0_dp = (i - 1) & ~(C - 1)
@@ -353,12 +363,26 @@ def _walk_kernel(rlen_ref, qlen_ref, ms_ref, W_ref, paths_ref, rec_ref, meta_ref
         new_dead = jnp.where((bits != 0) & (take_m | take_i | take_d), 0, 1)
         live = new_dead == 0
 
-        # event emission: D rows always; M rows only when an insertion run
-        # trails them (ins > 0). Jumped match rows emit nothing.
-        is_event = live & (take_d | (take_m & (ins > 0)))
-        opv = jnp.where(take_m, OP_M, OP_D) | (ins << 2)
-        hit = is_event & (sub_r == (li >> 7)) & (lane_r == (li & 127))
-        rec = jnp.where(hit, opv, rec)
+        # event emission: a non-D move ends any pending deletion run (emitted
+        # at its lowest row = current i); an M move with a trailing insertion
+        # run emits its own event. The two cannot coincide (ins is captured
+        # into ia when the run starts, so dl > 0 implies ins == 0).
+        emit_d = live & (take_m | take_i) & (dl > 0)
+        emit_m = live & take_m & (ins > 0) & (dl == 0)
+        do_emit = emit_d | emit_m
+        row_e = jnp.where(emit_d, i, i - 1)
+        word_e = jnp.where(emit_d, OP_D | (ia << 2) | (dl << 17), OP_M | (ins << 2))
+        idx = jnp.minimum(cnt, K - 1)
+
+        @pl.when(do_emit)
+        def _emit():
+            rows_ref[0, 0, idx] = row_e
+            words_ref[0, 0, idx] = word_e
+
+        cnt = cnt + do_emit.astype(jnp.int32)
+        start_run = live & take_d & (dl == 0)
+        new_ia = jnp.where(start_run, ins, jnp.where(emit_d, 0, ia))
+        new_dl = jnp.where(live & take_d, dl + 1, jnp.where(emit_d, 0, dl))
 
         new_st = jnp.where(
             take_i,
@@ -373,33 +397,51 @@ def _walk_kernel(rlen_ref, qlen_ref, ms_ref, W_ref, paths_ref, rec_ref, meta_ref
         q = jnp.where(live, q - dq, q)
         ins = jnp.where(live, jnp.where(take_i, ins + 1, jnp.where(take_m | take_d, 0, ins)), ins)
         st = jnp.where(live, new_st, st)
-        return i, q, st, ins, new_dead, bnd, rec
+        return i, q, st, ins, new_dl, new_ia, cnt, new_dead, bnd
 
-    carry = (st_ref[S_I], st_ref[S_Q], st_ref[S_STATE], st_ref[S_INS], st_ref[S_DEAD], st_ref[S_BND], rec0)
-    i, q, st, ins, dead, bnd, rec = jax.lax.while_loop(cond, body, carry)
+    carry = (
+        st_ref[S_I], st_ref[S_Q], st_ref[S_STATE], st_ref[S_INS],
+        st_ref[S_DEL], st_ref[S_IA], st_ref[S_CNT], st_ref[S_DEAD], st_ref[S_BND],
+    )
+    i, q, st, ins, dl, ia, cnt, dead, bnd = jax.lax.while_loop(cond, body, carry)
+
+    # a deletion run reaching row 0 is flushed once, at the end of the walk
+    flush = (chunk == 0) & (i == 0) & (dead == 0) & (dl > 0)
+
+    @pl.when(flush)
+    def _flush():
+        rows_ref[0, 0, jnp.minimum(cnt, K - 1)] = 0
+        words_ref[0, 0, jnp.minimum(cnt, K - 1)] = OP_D | (ia << 2) | (dl << 17)
+
+    cnt = cnt + flush.astype(jnp.int32)
 
     st_ref[S_I] = i
     st_ref[S_Q] = q
     st_ref[S_STATE] = st
     st_ref[S_INS] = ins
+    st_ref[S_DEL] = dl
+    st_ref[S_IA] = ia
+    st_ref[S_CNT] = cnt
     st_ref[S_DEAD] = dead
     st_ref[S_BND] = bnd
 
-    rec_ref[0] = rec
+    nev_ref[g] = cnt
     meta_ref[g, 0] = q  # lead insertion length (+ pending ins handled on host)
     meta_ref[g, 1] = dead | jnp.where(i > 0, 1, 0).astype(jnp.int32)
     meta_ref[g, 2] = bnd
     meta_ref[g, 3] = ins  # pending insertion run at walk end (prepends at pos 0)
 
 
-def walk_v2(paths, rlen, qlen, ms, W, R_cap: int, B: int):
-    """Traceback over v2 path records. rec [m, R_cap] int32 event words
-    (0 = non-event row), meta [m, 4]: lead, dead, boundary, pending_ins."""
+def walk_v2(paths, rlen, qlen, ms, W, R_cap: int, B: int, K: int):
+    """Traceback over v2 path records -> compact event lists.
+
+    Returns (rows [m, K], words [m, K], n_events [m], meta [m, 4]); meta is
+    (lead, dead, boundary, pending_ins). Events are in walk order (descending
+    row); entries beyond n_events are garbage. n_events > K flags overflow."""
     C = DP_C
     WN = B + C
     m = paths.shape[0]
-    # pick the walk chunk: bound the VMEM block to ~4 MB, >= 1024 rows so the
-    # rec tile (cw//128 multiple of 8) stays aligned, <= R_cap
+    # pick the walk chunk: bound the VMEM block to ~4 MB, <= R_cap
     cw = 1024
     while cw * 2 <= min(R_cap, 8192) and cw * 2 * WN * 4 <= 4 * 1024 * 1024:
         cw *= 2
@@ -408,8 +450,11 @@ def walk_v2(paths, rlen, qlen, ms, W, R_cap: int, B: int):
     n_chunks = R_cap // cw
     grid = (m, n_chunks)
 
-    rec, meta = pl.pallas_call(
-        functools.partial(_walk_kernel, C=C, B=B, cw=cw),
+    def ev_spec():
+        return pl.BlockSpec((1, 1, K), lambda g, c: (g, 0, 0), memory_space=pltpu.SMEM)
+
+    rows, words, nev, meta = pl.pallas_call(
+        functools.partial(_walk_kernel, C=C, B=B, cw=cw, K=K),
         grid=grid,
         interpret=jax.default_backend() != "tpu",
         in_specs=[
@@ -420,40 +465,30 @@ def walk_v2(paths, rlen, qlen, ms, W, R_cap: int, B: int):
             pl.BlockSpec((1, cw, WN), lambda g, c: (g, n_chunks - 1 - c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, cw // 128, 128), lambda g, c: (g, n_chunks - 1 - c, 0), memory_space=pltpu.VMEM),
+            ev_spec(),
+            ev_spec(),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m, R_cap // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((m, 1, K), jnp.int32),
+            jax.ShapeDtypeStruct((m, 1, K), jnp.int32),
+            jax.ShapeDtypeStruct((m,), jnp.int32),
             jax.ShapeDtypeStruct((m, 4), jnp.int32),
         ],
-        scratch_shapes=[pltpu.SMEM((8,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((16,), jnp.int32)],
     )(rlen, qlen, ms, W, paths)
-    return rec.reshape(m, R_cap), meta
-
-
-def compact_events(rec, meta, K: int):
-    """Event-row compaction with top_k (rows descending — walk order).
-    Returns rows [m, K], words [m, K], n_events [m], meta."""
-    m, R_cap = rec.shape
-    rows = jnp.arange(R_cap, dtype=jnp.int32)[None, :]
-    flag = rec != 0
-    key = jnp.where(flag, rows, -1)
-    top_rows, idx = jax.lax.top_k(key, K)
-    words = jnp.take_along_axis(rec, idx, axis=1)
-    words = jnp.where(top_rows >= 0, words, 0)
-    n_events = jnp.sum(flag, axis=1, dtype=jnp.int32)
-    return top_rows, words, n_events
+    return rows.reshape(m, K), words.reshape(m, K), nev, meta
 
 
 @functools.partial(jax.jit, static_argnames=("R_cap", "B", "K", "g_size"))
 def stripe_align_v2(ref_seq, qry_seq, rlen, qlen, ms, W, gmax, R_cap: int, B: int, K: int = 512, g_size: int = G):
-    """Full device pipeline: DP -> run-jump walk -> event compaction.
+    """Full device pipeline: DP -> run-jump walk with direct event emission.
 
     ref_seq [m, R_cap] uint8, qry_seq [m, R_cap + 2B] uint8 (raw bytes; IUPAC
     masks and the pre-shifted query are derived on device). Returns dict with
     rows/words [m, K], n_events [m], meta [m, 4] (lead, dead, bnd, pend_ins).
-    Event counts > K are flagged dead via n_events (host checks)."""
+    Event counts > K are flagged via n_events (host retries those jobs)."""
     from pangraph_tpu.graph.seq import IUPAC_MASK
 
     m, Wq = qry_seq.shape
@@ -468,21 +503,21 @@ def stripe_align_v2(ref_seq, qry_seq, rlen, qlen, ms, W, gmax, R_cap: int, B: in
     qsh = jnp.where(valid, rolled, 0).astype(jnp.uint8)
 
     paths = stripe_dp_v2(ref_mask, qsh, rlen, qlen, ms, W, gmax, R_cap, B, g_size)
-    rec, meta = walk_v2(paths, rlen, qlen, ms, W, R_cap, B)
-    rows, words, n_events = compact_events(rec, meta, K)
+    rows, words, n_events, meta = walk_v2(paths, rlen, qlen, ms, W, R_cap, B, K)
     return {"rows": rows, "words": words, "n_events": n_events, "meta": meta}
 
 
 def edit_from_events(rows, words, n_events, meta, ref: np.ndarray, qry: np.ndarray):
-    """Host decode: event list -> Edit, fully vectorized (no per-event loop).
+    """Host decode: run-compressed event list -> Edit, fully vectorized.
 
     Conventions (edits.rs, map_variations.rs:70-73): Sub.pos / Del.pos are
     0-based reference positions; Ins.pos is the reference position *after*
-    which the insertion sits. Event at row index x (0-based): OP_D = deletion
-    of ref[x]; OP_M = match move consuming ref[x]; either op may carry a
-    trailing insertion run (word >> 2 chars after ref position x+1). Rows
-    between events are implicit matches. An insertion breaks a deletion run
-    into separate Del entries (matching the host backtrace semantics).
+    which the insertion sits. Event word layout (see _walk_kernel): op in
+    bits 0-1; insertion-run length in bits 2-16; deletion-run length in bits
+    17-31. An OP_D event at row x deletes ref[x .. x+del_len) and inserts
+    ins_len query chars at position x+del_len; an OP_M event at row x is a
+    diagonal move with ins_len chars inserted at x+1. Rows not covered by
+    events are implicit diagonal moves (substitutions recovered by compare).
     Returns (edit, ok) — ok False when the walk died or events overflowed."""
     from pangraph_tpu.graph.edits import Del, Edit, Ins, Sub
 
@@ -506,18 +541,23 @@ def edit_from_events(rows, words, n_events, meta, ref: np.ndarray, qry: np.ndarr
     xs = rows[:n][::-1].astype(np.int64)
     ws = words[:n][::-1].astype(np.int64)
     ops = ws & 3
-    ins_len = ws >> 2
+    ins_len = (ws >> 2) & 0x7FFF
+    del_len = ws >> 17
     is_d = ops == OP_D
+    dlen = np.where(is_d, del_len, 0)
 
-    # per-ref-position bookkeeping: deleted rows, insertion chars attached
-    # after row x (i.e. before ref position x+1)
-    del_mask = np.zeros(rlen + 1, dtype=bool)
-    del_mask[xs[is_d]] = True
+    # deleted-row mask via run difference array; insertion chars attach after
+    # the event's last consumed ref row (before ref position `attach`)
+    dmark = np.zeros(rlen + 2, dtype=np.int64)
+    np.add.at(dmark, xs[is_d], 1)
+    np.add.at(dmark, xs[is_d] + dlen[is_d], -1)
+    del_mask = np.cumsum(dmark[: rlen + 1]) > 0
+    attach = np.where(is_d, xs + dlen, xs + 1)
     ins_at = np.zeros(rlen + 1, dtype=np.int64)
-    np.add.at(ins_at, xs + 1, ins_len)
+    np.add.at(ins_at, attach, ins_len)
     nd_excl = np.zeros(rlen + 1, dtype=np.int64)
     np.cumsum(del_mask[:rlen], out=nd_excl[1:])  # deletions strictly before i
-    ins_cum = np.cumsum(ins_at)  # ins chars attached before position i+1
+    ins_cum = np.cumsum(ins_at)  # ins chars attached at indices <= i
     if q0 + (rlen - nd_excl[rlen]) + ins_cum[rlen] != qlen:
         return None, False
 
@@ -529,24 +569,18 @@ def edit_from_events(rows, words, n_events, meta, ref: np.ndarray, qry: np.ndarr
     dif = mi[ref[mi] != qry[q_of[mi]]]
     subs = [Sub(int(i), chr(int(qry[q_of[i]]))) for i in dif]
 
-    # deletions: runs of consecutive D rows; an insertion attached to a D
-    # event breaks the run after that row
-    dels = []
-    dx = xs[is_d]
-    if len(dx):
-        dins = ins_len[is_d]
-        brk = np.nonzero((np.diff(dx) != 1) | (dins[:-1] > 0))[0]
-        starts = np.concatenate([[0], brk + 1])
-        ends = np.concatenate([brk, [len(dx) - 1]])
-        dels = [Del(int(dx[s]), int(dx[e] - dx[s] + 1)) for s, e in zip(starts, ends)]
+    # deletions: one Del per OP_D event (runs are maximal by construction —
+    # an insertion between two runs keeps them separate entries)
+    di = np.nonzero(is_d)[0]
+    dels = [Del(int(xs[t]), int(dlen[t])) for t in di]
 
-    # insertions: event at row x with ins_len k inserts qry[q_op : q_op+k] at
-    # ref position x+1, where q_op = query consumed through the event's op
+    # insertions: event inserts qry[q_op : q_op+ins_len] at ref position
+    # `attach`, where q_op = query consumed through the event's op
     inss = [Ins(0, bytes(qry[:q0]).decode())] if q0 else []
     it = np.nonzero(ins_len > 0)[0]
     if len(it):
-        x_it = xs[it]
-        q_op = q0 + (x_it + 1 - nd_excl[x_it + 1]) + ins_cum[x_it]
-        for t, xv, qs in zip(it, x_it, q_op):
-            inss.append(Ins(int(xv) + 1, bytes(qry[int(qs) : int(qs) + int(ins_len[t])]).decode()))
+        a_it = attach[it]
+        q_op = q0 + (a_it - nd_excl[a_it]) + (ins_cum[a_it] - ins_len[it])
+        for t, av, qs in zip(it, a_it, q_op):
+            inss.append(Ins(int(av), bytes(qry[int(qs) : int(qs) + int(ins_len[t])]).decode()))
     return Edit(subs=subs, dels=dels, inss=inss), True
