@@ -16,6 +16,7 @@ import numpy as np
 from pangraph_tpu.align.params import BandedAlignParams, BandParameters
 from pangraph_tpu.graph.edits import Del, Edit, Ins, Sub
 from pangraph_tpu.graph.seq import IUPAC_MASK, as_seq
+from pangraph_tpu.utils import trace
 
 log = logging.getLogger(__name__)
 
@@ -504,29 +505,32 @@ class TpuBatchAligner:
         launched = []
         try:
             for sub, g_sz, m_pad, R_cap, B, K, _bb in planned:
-                Wq = R_cap + B
-                ref_seq = np.zeros((m_pad, R_cap), dtype=np.uint8)
-                qry_seq = np.zeros((m_pad, Wq), dtype=np.uint8)
-                rlen = np.zeros(m_pad, dtype=np.int32)
-                qlen = np.zeros(m_pad, dtype=np.int32)
-                msv = np.zeros(m_pad, dtype=np.int32)
-                Wv = np.full(m_pad, (B - 2) // 2, dtype=np.int32)
-                for s, i in enumerate(sub):
-                    j = jobs[i]
-                    ref_seq[s, : len(j.ref)] = j.ref
-                    qry_seq[s, : len(j.qry)] = j.qry
-                    rlen[s] = len(j.ref)
-                    qlen[s] = len(j.qry)
-                    msv[s] = j.band.mean_shift
-                gmax = rlen.reshape(-1, g_sz).max(axis=1).astype(np.int32)
-                if self.mesh is not None:
-                    out = self._sharded_align(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K)
-                else:
-                    out = stripe_align_v2(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K, g_sz)
-                packed = _pack_v2(out)
+                with trace.span("align.pack"):
+                    Wq = R_cap + B
+                    ref_seq = np.zeros((m_pad, R_cap), dtype=np.uint8)
+                    qry_seq = np.zeros((m_pad, Wq), dtype=np.uint8)
+                    rlen = np.zeros(m_pad, dtype=np.int32)
+                    qlen = np.zeros(m_pad, dtype=np.int32)
+                    msv = np.zeros(m_pad, dtype=np.int32)
+                    Wv = np.full(m_pad, (B - 2) // 2, dtype=np.int32)
+                    for s, i in enumerate(sub):
+                        j = jobs[i]
+                        ref_seq[s, : len(j.ref)] = j.ref
+                        qry_seq[s, : len(j.qry)] = j.qry
+                        rlen[s] = len(j.ref)
+                        qlen[s] = len(j.qry)
+                        msv[s] = j.band.mean_shift
+                    gmax = rlen.reshape(-1, g_sz).max(axis=1).astype(np.int32)
+                with trace.span("align.dispatch"):
+                    if self.mesh is not None:
+                        out = self._sharded_align(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K)
+                    else:
+                        out = stripe_align_v2(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K, g_sz)
+                    packed = _pack_v2(out)
                 launched.append((sub, K, packed))
 
-            bufs = jax.device_get([p for _, _, p in launched])
+            with trace.span("align.fetch"):
+                bufs = jax.device_get([p for _, _, p in launched])
         finally:
             if round_bytes:
                 self._mem_release(round_bytes)
