@@ -469,13 +469,13 @@ class TpuBatchAligner:
         # wait while holding earlier batches' bytes
         planned = []  # (sub, g_sz, m_pad, R_cap, B, K, bytes)
         for (R_cap, B), idxs in groups.items():
-            per_problem = R_cap * (B + 128) * 4  # int32 paths bytes
+            per_problem = R_cap * (B + 128) * 2  # int16 paths bytes
             g_sz = G
             while g_sz > 8 and g_sz * per_problem > self.V2_BYTES:
                 g_sz //= 2  # floor at one sublane tile: sub-tile kernels hang Mosaic
-            # VMEM: the DP out block is (g, 128, B+128) int32, double-buffered;
-            # keep g*(B+128) under ~12k lanes or wide bands blow the 16 MB limit
-            while g_sz > 8 and g_sz * (B + 128) > 12288:
+            # VMEM: the DP out block is (g, 128, B+128) int16, double-buffered;
+            # keep g*(B+128) under ~24k lanes or wide bands blow the 16 MB limit
+            while g_sz > 8 and g_sz * (B + 128) > 24576:
                 g_sz //= 2
             if g_sz * per_problem > self.HBM_BUDGET // 2:
                 # Mbp-scale tier with a very wide band: even a minimum-size

@@ -53,7 +53,7 @@ PENALTY_MISMATCH = 1
 GAP_OPEN = 6
 
 G = 16  # default problems per group; large tiers use smaller groups (see g=)
-RUN_CAP = (1 << 24) - 1  # run counter shares an int32 record with 6 origin bits
+RUN_CAP = (1 << 10) - 1  # run counter shares an int16 record with 6 origin bits
 
 OP_M = 1
 OP_D = 2
@@ -86,6 +86,8 @@ def _dp_kernel(
     n_q = WN // C
     qsh_refs = qsh_and_out[:n_q]
     paths_ref = qsh_and_out[n_q]  # out [G, C, WN] int16: origin bits | run << 6
+    # int16 records halve both HBM footprint and store bandwidth vs int32 —
+    # the DP is store-bound, and paths bytes cap the largest alignable block
     H_ref, qg_ref, run_ref = qsh_and_out[n_q + 1 :]  # VMEM scratch [G, WN] int32
     g = pl.program_id(0)
     c = pl.program_id(1)
@@ -227,7 +229,7 @@ def _dp_kernel(
                 carry, rec32 = row_body(rg * KR + u, carry)
                 rows.append(rec32)
             idx = pl.multiple_of(rg * KR, KR)
-            paths_ref[:, pl.ds(idx, KR), :] = jnp.stack(rows, axis=1)
+            paths_ref[:, pl.ds(idx, KR), :] = jnp.stack(rows, axis=1).astype(jnp.int16)
             return carry
 
         H_fin, qg_fin, run_fin, _ = jax.lax.fori_loop(
@@ -239,7 +241,7 @@ def _dp_kernel(
 
     @pl.when(c * C >= group_max)
     def _skip():
-        paths_ref[:] = jnp.zeros((G_, C, WN), dtype=jnp.int32)
+        paths_ref[:] = jnp.zeros((G_, C, WN), dtype=jnp.int16)
 
 
 DP_C = 128  # DP rows per grid chunk
@@ -250,10 +252,10 @@ def stripe_dp_v2(ref_mask, qsh_mask, rlen, qlen, ms, W, gmax, R_cap: int, B: int
 
     ref_mask [n, R_cap] int32 IUPAC masks; qsh_mask [n, R_cap + B] uint8
     pre-shifted query masks (qsh[t] = qry_mask[t - ms - W]).
-    Returns paths [n, R_cap, B + DP_C] int32: origin bits | run << 6, rows
+    Returns paths [n, R_cap, B + DP_C] int16: origin bits | run << 6, rows
     1..R_cap in window coordinates (row i, band k at lane (i-1) % DP_C + k).
     g_size = problems per kernel group (smaller groups for memory-bound
-    large tiers; HBM per problem = R_cap * (B + 128) * 4 bytes).
+    large tiers; HBM per problem = R_cap * (B + 128) * 2 bytes).
     """
     C = DP_C
     WN = B + C
@@ -278,7 +280,7 @@ def stripe_dp_v2(ref_mask, qsh_mask, rlen, qlen, ms, W, gmax, R_cap: int, B: int
         + [pl.BlockSpec((g_size, C), lambda g, c: (g, c), memory_space=pltpu.VMEM)]
         + [qspec(t) for t in range(WN // C)],
         out_specs=pl.BlockSpec((g_size, C, WN), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, R_cap, WN), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n, R_cap, WN), jnp.int16),
         scratch_shapes=[
             pltpu.VMEM((g_size, WN), jnp.int32),
             pltpu.VMEM((g_size, WN), jnp.int32),
@@ -334,8 +336,9 @@ def _walk_kernel(
 
     msv = ms_ref[g]
     Wv = W_ref[g]
-    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, WN), 0)
-    laneW = jax.lax.broadcasted_iota(jnp.int32, (8, WN), 1)
+    # int16 path records: slabs are 16 sublanes (the int16 tile height)
+    sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, WN), 0)
+    laneW = jax.lax.broadcasted_iota(jnp.int32, (16, WN), 1)
 
     def cond(carry):
         i, q, st, ins, dl, ia, cnt, dead, bnd = carry
@@ -349,10 +352,11 @@ def _walk_kernel(
         l = q + msv + Wv - c0_dp - 1
         j = i - 1 - c0_dp
         in_band = (l >= j) & (l < j + B) & (l >= 0) & (l < WN)
-        slab_at = pl.multiple_of((li >> 3) << 3, 8)
-        slab = paths_ref[0, pl.ds(slab_at, 8), :]  # [8, WN] int32
-        word = jnp.sum(jnp.where((sub8 == (li & 7)) & (laneW == l), slab, 0))
-        word = jnp.where(in_band, word, 0)
+        slab_at = pl.multiple_of((li >> 4) << 4, 16)
+        slab = paths_ref[0, pl.ds(slab_at, 16), :].astype(jnp.int32)  # [16, WN]
+        word = jnp.sum(jnp.where((sub16 == (li & 15)) & (laneW == l), slab, 0))
+        # sign-extended int16 record -> unsigned 16-bit word
+        word = jnp.where(in_band, word, 0) & 0xFFFF
         bits = word & 63
         runv = word >> 6
         bnd = bnd | ((bits & BOUNDARY) > 0).astype(jnp.int32)
@@ -443,7 +447,7 @@ def walk_v2(paths, rlen, qlen, ms, W, R_cap: int, B: int, K: int):
     m = paths.shape[0]
     # pick the walk chunk: bound the VMEM block to ~4 MB, <= R_cap
     cw = 1024
-    while cw * 2 <= min(R_cap, 8192) and cw * 2 * WN * 4 <= 4 * 1024 * 1024:
+    while cw * 2 <= min(R_cap, 8192) and cw * 2 * WN * 2 <= 4 * 1024 * 1024:
         cw *= 2
     cw = min(cw, R_cap)
     assert R_cap % cw == 0
