@@ -86,11 +86,16 @@ def _score_matrix(ref, qry, stripes, p: BandedAlignParams):
     ref_unknown = ref == _N
     qry_unknown = qry == _N
 
-    # full-width running arrays (Q+1); band-limited per-row outputs
+    # full-width running arrays (Q+1), updated IN PLACE on the band window
+    # only: stale values outside the previous stripe are never read (the
+    # diag_ok/up_ok masks restrict reads to the previous stripe), so each row
+    # costs O(band), not O(Q) — this keeps Mbp-scale fallback jobs feasible
     H_prev = np.full(Q + 1, NO_ALIGN, dtype=np.int64)
     qry_gaps = np.full(Q + 1, NO_ALIGN, dtype=np.int64)
 
     paths_rows = [None] * (R + 1)
+    # only the final row's scores are consumed (backtrace reads scores[R]);
+    # retaining every row held O(R*band) int64 alive for no reason
     scores_rows = [None] * (R + 1)
 
     # row 0 (score_matrix.rs:61-80): free (or penalized) leading query insertion
@@ -181,13 +186,10 @@ def _score_matrix(ref, qry, stripes, p: BandedAlignParams):
         path |= origin
 
         paths_rows[ri] = path
-        scores_rows[ri] = H
+        if ri == R:
+            scores_rows[ri] = H
 
-        new_H = np.full(Q + 1, NO_ALIGN, dtype=np.int64)
-        new_H[b:e] = H
-        H_prev = new_H
-        qry_gaps[:b] = NO_ALIGN
-        qry_gaps[e:] = NO_ALIGN
+        H_prev[b:e] = H
         pprev_e = prev_e
         prev_b, prev_e = b, e
 
