@@ -26,13 +26,15 @@ _TRIED = False
 
 
 def _build_and_load():
-    src = os.path.join(_HERE, "chain.cpp")
-    with open(src, "rb") as f:
-        tag = hashlib.blake2b(f.read(), digest_size=8).hexdigest()
-    so = os.path.join(_HERE, f"_native_{tag}.so")
+    srcs = [os.path.join(_HERE, f) for f in ("chain.cpp", "stripe.cpp")]
+    h = hashlib.blake2b(digest_size=8)
+    for src in srcs:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    so = os.path.join(_HERE, f"_native_{h.hexdigest()}.so")
     if not os.path.exists(so):
         tmp = so + f".tmp{os.getpid()}"
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, src]
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread", "-o", tmp, *srcs]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, so)
     return ctypes.CDLL(so)
@@ -49,6 +51,7 @@ def get_lib():
                 lib = _build_and_load()
                 lib.chain_dp.restype = None
                 lib.backtrace_band.restype = ctypes.c_int
+                lib.stripe_align_batch.restype = None
                 _LIB = lib
             except Exception as e:  # pragma: no cover
                 log.warning("native library unavailable, using numpy fallbacks: %s", e)
@@ -118,3 +121,81 @@ def backtrace_band_native(paths: np.ndarray, ref: np.ndarray, qry: np.ndarray, m
         ctypes.byref(hb),
     )
     return rc, ops, int(n_ops.value), subs, int(n_subs.value), int(lead.value), bool(hb.value)
+
+
+def stripe_align_batch_native(
+    refs: list,
+    qrys: list,
+    ms: np.ndarray,
+    W: np.ndarray,
+    params,
+    iupac_mask: np.ndarray,
+    max_paths_bytes: int = 1 << 30,
+    ops_cap: int = 65536,
+    subs_cap: int = 262144,
+    n_threads: int = 0,
+):
+    """Batched banded stripe alignment on host (C++, threaded across jobs).
+
+    refs/qrys: lists of uint8 arrays; ms/W: per-job band params. Returns a
+    dict of flat result arrays (ops, n_ops, subs, n_subs, lead_ins, boundary,
+    status) or None if the native library is unavailable. status per job:
+    0 ok, 1 boundary-retry, 2 overflow, 3 paths over budget.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(refs)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    ref_len = np.array([len(r) for r in refs], dtype=np.int64)
+    qry_len = np.array([len(q) for q in qrys], dtype=np.int64)
+    ref_off = np.zeros(n, dtype=np.int64)
+    qry_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(ref_len[:-1], out=ref_off[1:]) if n > 1 else None
+    np.cumsum(qry_len[:-1], out=qry_off[1:]) if n > 1 else None
+    refs_cat = np.concatenate(refs) if n else np.zeros(0, np.uint8)
+    qrys_cat = np.concatenate(qrys) if n else np.zeros(0, np.uint8)
+    refs_cat = np.ascontiguousarray(refs_cat, dtype=np.uint8)
+    qrys_cat = np.ascontiguousarray(qrys_cat, dtype=np.uint8)
+    ms = np.ascontiguousarray(ms, dtype=np.int64)
+    W = np.ascontiguousarray(W, dtype=np.int64)
+    mask = np.ascontiguousarray(iupac_mask, dtype=np.uint8)
+    ops = np.zeros(n * ops_cap * 2, dtype=np.int32)
+    subs = np.zeros(n * subs_cap * 2, dtype=np.int64)
+    n_ops = np.zeros(n, dtype=np.int64)
+    n_subs = np.zeros(n, dtype=np.int64)
+    lead_ins = np.zeros(n, dtype=np.int64)
+    boundary = np.zeros(n, dtype=np.int32)
+    status = np.zeros(n, dtype=np.int32)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.stripe_align_batch(
+        ctypes.c_int64(n),
+        refs_cat.ctypes.data_as(c_u8p), ref_off.ctypes.data_as(c_i64p), ref_len.ctypes.data_as(c_i64p),
+        qrys_cat.ctypes.data_as(c_u8p), qry_off.ctypes.data_as(c_i64p), qry_len.ctypes.data_as(c_i64p),
+        ms.ctypes.data_as(c_i64p), W.ctypes.data_as(c_i64p),
+        ctypes.c_int64(params.score_match), ctypes.c_int64(params.penalty_mismatch),
+        ctypes.c_int64(params.penalty_gap_open), ctypes.c_int64(params.penalty_gap_extend),
+        ctypes.c_int64(int(params.left_align)),
+        ctypes.c_int32(1 if params.left_terminal_gaps_free else 0),
+        ctypes.c_int32(1 if params.right_terminal_gaps_free else 0),
+        mask.ctypes.data_as(c_u8p),
+        ctypes.c_int64(max_paths_bytes),
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ctypes.c_int64(ops_cap),
+        n_ops.ctypes.data_as(c_i64p),
+        subs.ctypes.data_as(c_i64p), ctypes.c_int64(subs_cap), n_subs.ctypes.data_as(c_i64p),
+        lead_ins.ctypes.data_as(c_i64p),
+        boundary.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(n_threads),
+    )
+    return {
+        "ops": ops.reshape(n, ops_cap, 2),
+        "n_ops": n_ops,
+        "subs": subs.reshape(n, subs_cap, 2),
+        "n_subs": n_subs,
+        "lead_ins": lead_ins,
+        "boundary": boundary.astype(bool),
+        "status": status,
+    }

@@ -9,6 +9,7 @@ become one batch here.
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -319,6 +320,35 @@ def _fetch_trimmed(out: dict) -> dict:
     }
 
 
+def _edit_from_rle_hostmatch(ops, n_ops, subs, n_subs, lead_ins, qry) -> Edit:
+    """Build an Edit from RLE ops with the host aligner's insertion-strip
+    semantics (align/map_variations.edits_from_aligned_pair): deletion runs
+    separated only by insertions merge into one Del, because stripping the
+    ref-gap (insertion) columns makes them one contiguous query-gap run
+    (insertions_strip.rs:47 + nuc_changes.rs:18)."""
+    out_subs = [Sub(int(subs[s, 0]), chr(int(subs[s, 1]))) for s in range(n_subs - 1, -1, -1)]
+    dels, inss = [], []
+    rpos = 0
+    qpos = lead_ins
+    if lead_ins:
+        inss.append(Ins(0, bytes(qry[:lead_ins]).decode()))
+    for t in range(n_ops - 1, -1, -1):
+        op, length = int(ops[t, 0]), int(ops[t, 1])
+        if op == 0:  # match
+            rpos += length
+            qpos += length
+        elif op == 2:  # deletion in query
+            if dels and dels[-1].end == rpos:
+                dels[-1] = Del(dels[-1].pos, dels[-1].len + length)
+            else:
+                dels.append(Del(rpos, length))
+            rpos += length
+        else:  # insertion
+            inss.append(Ins(rpos, bytes(qry[qpos : qpos + length]).decode()))
+            qpos += length
+    return Edit(subs=out_subs, dels=dels, inss=inss)
+
+
 def _edit_from_rle(ops, n_ops, subs, n_subs, lead_ins, qry) -> Edit:
     """Build an Edit from the fused kernel's compact outputs. ops are emitted
     end-to-start; subs carry absolute ref positions + query chars."""
@@ -380,8 +410,16 @@ class TpuBatchAligner:
                 [jobs[i] for i in pending], [widths[i] for i in pending], [kbumps[i] for i in pending]
             )
             next_pending = []
+            max_w_kernel = (self.MAX_B - 2) // 2
+            native_ready = self.NATIVE_CELL_BUDGET > 0 and self._native_lib() is not None
             for slot, idx in enumerate(pending):
-                can_widen = boundary[slot] and widths[idx] < (self.MAX_B - 2) // 2
+                # the kernel clamps bands at max_w_kernel; the native host path
+                # has no such cap, so widening past it is useful when the job
+                # (at the doubled width) still fits the native budget
+                widen_cap = max_w_kernel
+                if native_ready and self._job_cells(jobs[idx], 2 * widths[idx]) <= self.NATIVE_CELL_BUDGET:
+                    widen_cap = self.NATIVE_MAX_W
+                can_widen = boundary[slot] and widths[idx] < widen_cap
                 retry = (can_widen or overflow[slot]) and attempt < self.max_attempts
                 if retry:
                     if can_widen:
@@ -418,7 +456,31 @@ class TpuBatchAligner:
             p *= 2
         return p
 
+    # adaptive host/device dispatch: the device link costs ~30-50 ms latency
+    # per round (axon tunnel), while the native C++ aligner does ~0.5 Gcells/s
+    # per host core — rounds whose total DP area is below this budget finish
+    # faster on host than the device round-trip latency alone.
+    NATIVE_CELL_BUDGET = int(float(os.environ.get("PANGRAPH_TPU_NATIVE_BUDGET", 30e6)))
+    NATIVE_MAX_W = 1 << 20
+
+    @staticmethod
+    def _job_cells(job: AlignJob, W: int) -> int:
+        rlen, qlen = len(job.ref), len(job.qry)
+        return (rlen + 1) * min(2 * W + 2, qlen + 1)
+
+    def _native_lib(self):
+        from pangraph_tpu import native
+
+        return native.get_lib()
+
     def _run_round(self, jobs: list, widths: list, kbumps: list = None):
+        if (
+            self.backend == "v2"
+            and self.NATIVE_CELL_BUDGET > 0
+            and sum(self._job_cells(j, w) for j, w in zip(jobs, widths)) <= self.NATIVE_CELL_BUDGET
+            and self._native_lib() is not None
+        ):
+            return self._run_round_native(jobs, widths)
         if self.backend == "v2":
             return self._run_round_v2(jobs, widths, kbumps or [1] * len(jobs))
         if self.backend == "pallas":
@@ -428,6 +490,59 @@ class TpuBatchAligner:
         else:
             e, b = self._run_round_chunked(jobs, widths)
         return e, b, [False] * len(jobs)
+
+    def _run_round_native(self, jobs: list, widths: list):
+        """Host C++ round: banded stripe DP + traceback per job, threaded
+        across host cores (native/stripe.cpp). Same stripe geometry and tie
+        rules as the host aligner; edits match map_variations exactly."""
+        from pangraph_tpu.native import stripe_align_batch_native
+
+        n = len(jobs)
+        refs = [j.ref for j in jobs]
+        qrys = [j.qry for j in jobs]
+        ms = np.array([j.band.mean_shift for j in jobs], dtype=np.int64)
+        W = np.array(widths, dtype=np.int64)
+        max_len = max(max(len(j.ref), len(j.qry)) for j in jobs)
+        ops_cap = min(65536, 256 + max_len // 8)
+        subs_cap = min(262144, 256 + max_len // 4)
+        # keep the flat output buffers bounded (~256 MB)
+        while n * (ops_cap * 8 + subs_cap * 16) > 256 * 1024 * 1024 and ops_cap > 256:
+            ops_cap //= 2
+            subs_cap //= 2
+        with trace.span("align.native"):
+            out = stripe_align_batch_native(
+                refs, qrys, ms, W, self.params, IUPAC_MASK, ops_cap=ops_cap, subs_cap=subs_cap
+            )
+        edits = [None] * n
+        boundary = [False] * n
+        for s in range(n):
+            st = int(out["status"][s])
+            if st == 0:
+                boundary[s] = bool(out["boundary"][s])
+                edits[s] = _edit_from_rle_hostmatch(
+                    out["ops"][s], int(out["n_ops"][s]), out["subs"][s], int(out["n_subs"][s]),
+                    int(out["lead_ins"][s]), jobs[s].qry,
+                )
+            elif st == 1:  # dead walk / out of band: widen and retry
+                boundary[s] = True
+            elif st == 2:  # output overflow: single-job retry with big caps
+                single = stripe_align_batch_native(
+                    [jobs[s].ref], [jobs[s].qry], ms[s : s + 1], W[s : s + 1],
+                    self.params, IUPAC_MASK, ops_cap=1 << 20, subs_cap=1 << 21,
+                )
+                if single is not None and int(single["status"][0]) == 0:
+                    boundary[s] = bool(single["boundary"][0])
+                    edits[s] = _edit_from_rle_hostmatch(
+                        single["ops"][0], int(single["n_ops"][0]), single["subs"][0],
+                        int(single["n_subs"][0]), int(single["lead_ins"][0]), jobs[s].qry,
+                    )
+                elif single is not None and int(single["status"][0]) == 1:
+                    boundary[s] = True
+                else:
+                    edits[s] = self._host_fallback(jobs[s])
+            else:  # paths over budget: numpy fallback
+                edits[s] = self._host_fallback(jobs[s])
+        return edits, boundary, [False] * n
 
     def _run_round_v2(self, jobs: list, widths: list, kbumps: list):
         """v2 kernel round: static-op DP + run-jump walk + event compaction.
