@@ -460,7 +460,7 @@ class TpuBatchAligner:
     # per round (axon tunnel), while the native C++ aligner does ~0.5 Gcells/s
     # per host core — rounds whose total DP area is below this budget finish
     # faster on host than the device round-trip latency alone.
-    NATIVE_CELL_BUDGET = int(float(os.environ.get("PANGRAPH_TPU_NATIVE_BUDGET", 30e6)))
+    NATIVE_CELL_BUDGET = int(float(os.environ.get("PANGRAPH_TPU_NATIVE_BUDGET", 100e6)))
     NATIVE_MAX_W = 1 << 20
 
     @staticmethod
@@ -473,14 +473,31 @@ class TpuBatchAligner:
 
         return native.get_lib()
 
+    STATS = []  # (kind, n_jobs, cells, seconds) when PANGRAPH_TPU_ALIGN_STATS=1
+
     def _run_round(self, jobs: list, widths: list, kbumps: list = None):
-        if (
+        cells = sum(self._job_cells(j, w) for j, w in zip(jobs, widths))
+        native = (
             self.backend == "v2"
             and self.NATIVE_CELL_BUDGET > 0
-            and sum(self._job_cells(j, w) for j, w in zip(jobs, widths)) <= self.NATIVE_CELL_BUDGET
+            and cells <= self.NATIVE_CELL_BUDGET
             and self._native_lib() is not None
-        ):
-            return self._run_round_native(jobs, widths)
+        )
+        if not os.environ.get("PANGRAPH_TPU_ALIGN_STATS"):
+            if native:
+                return self._run_round_native(jobs, widths)
+            return self._dispatch_device(jobs, widths, kbumps)
+        import time as _time
+
+        t0 = _time.time()
+        if native:
+            out = self._run_round_native(jobs, widths)
+        else:
+            out = self._dispatch_device(jobs, widths, kbumps)
+        self.STATS.append(("native" if native else self.backend, len(jobs), cells, _time.time() - t0))
+        return out
+
+    def _dispatch_device(self, jobs: list, widths: list, kbumps: list = None):
         if self.backend == "v2":
             return self._run_round_v2(jobs, widths, kbumps or [1] * len(jobs))
         if self.backend == "pallas":
