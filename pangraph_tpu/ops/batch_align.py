@@ -476,26 +476,79 @@ class TpuBatchAligner:
     STATS = []  # (kind, n_jobs, cells, seconds) when PANGRAPH_TPU_ALIGN_STATS=1
 
     def _run_round(self, jobs: list, widths: list, kbumps: list = None):
-        cells = sum(self._job_cells(j, w) for j, w in zip(jobs, widths))
-        native = (
-            self.backend == "v2"
-            and self.NATIVE_CELL_BUDGET > 0
-            and cells <= self.NATIVE_CELL_BUDGET
-            and self._native_lib() is not None
-        )
-        if not os.environ.get("PANGRAPH_TPU_ALIGN_STATS"):
-            if native:
-                return self._run_round_native(jobs, widths)
-            return self._dispatch_device(jobs, widths, kbumps)
-        import time as _time
+        """Route each job of the round to host C++ or the device kernel.
 
-        t0 = _time.time()
-        if native:
-            out = self._run_round_native(jobs, widths)
-        else:
+        The device link costs ~30-50 ms latency per round and the device
+        clamps bands at max_w_kernel; the host aligner is latency-free but
+        ~0.5 Gcells/s. Smallest jobs fill a host budget (they ride along for
+        free while the device round is in flight); jobs whose band exceeds
+        the kernel clamp but fit the budget are forced to host so retries
+        make progress instead of re-running clamped."""
+        n = len(jobs)
+        kbumps = kbumps or [1] * n
+        use_native = (
+            self.backend == "v2" and self.NATIVE_CELL_BUDGET > 0 and self._native_lib() is not None
+        )
+        t0 = 0.0
+        stats = bool(os.environ.get("PANGRAPH_TPU_ALIGN_STATS"))
+        if stats:
+            import time as _time
+
+            t0 = _time.time()
+        if not use_native:
             out = self._dispatch_device(jobs, widths, kbumps)
-        self.STATS.append(("native" if native else self.backend, len(jobs), cells, _time.time() - t0))
-        return out
+            if stats:
+                cells = sum(self._job_cells(j, w) for j, w in zip(jobs, widths))
+                self.STATS.append((self.backend, n, cells, _time.time() - t0))
+            return out
+
+        max_w_kernel = (self.MAX_B - 2) // 2
+        cells = [self._job_cells(j, w) for j, w in zip(jobs, widths)]
+        native_set = set()
+        acc = 0
+        for i in sorted(range(n), key=lambda i: cells[i]):
+            if acc + cells[i] > self.NATIVE_CELL_BUDGET:
+                break
+            native_set.add(i)
+            acc += cells[i]
+        for i in range(n):
+            # device would clamp this band; host is the only path that widens
+            if widths[i] > max_w_kernel and cells[i] <= self.NATIVE_CELL_BUDGET:
+                native_set.add(i)
+        dev_idx = [i for i in range(n) if i not in native_set]
+        nat_idx = [i for i in range(n) if i in native_set]
+
+        edits = [None] * n
+        boundary = [False] * n
+        overflow = [False] * n
+
+        def run_native():
+            e, b, _ = self._run_round_native([jobs[i] for i in nat_idx], [widths[i] for i in nat_idx])
+            for s, i in enumerate(nat_idx):
+                edits[i], boundary[i] = e[s], b[s]
+
+        if dev_idx and nat_idx:
+            # overlap: host C++ releases the GIL; device round mostly waits
+            import concurrent.futures as _cf
+
+            with _cf.ThreadPoolExecutor(max_workers=1) as pool:
+                fut = pool.submit(run_native)
+                e, b, o = self._dispatch_device(
+                    [jobs[i] for i in dev_idx], [widths[i] for i in dev_idx], [kbumps[i] for i in dev_idx]
+                )
+                fut.result()
+            for s, i in enumerate(dev_idx):
+                edits[i], boundary[i], overflow[i] = e[s], b[s], o[s]
+        elif nat_idx:
+            run_native()
+        else:
+            e, b, o = self._dispatch_device(jobs, widths, kbumps)
+            edits, boundary, overflow = e, b, o
+        if stats:
+            self.STATS.append(
+                (f"mixed[n={len(nat_idx)},d={len(dev_idx)}]", n, sum(cells), _time.time() - t0)
+            )
+        return edits, boundary, overflow
 
     def _dispatch_device(self, jobs: list, widths: list, kbumps: list = None):
         if self.backend == "v2":
@@ -621,14 +674,26 @@ class TpuBatchAligner:
             gran = g_sz * self.mesh.devices.size if self.mesh is not None else g_sz
             for c0 in range(0, len(idxs), M):
                 sub = idxs[c0 : c0 + M]
-                m_pad = ((len(sub) + gran - 1) // gran) * gran
+                # quantize the batch dim to power-of-two multiples of the
+                # granule: every distinct (m_pad, R_cap, B, K) shape costs a
+                # fresh XLA compile (~2 min through the device tunnel), so
+                # shape variety is worth more than padding waste
+                g_count = 1
+                while g_count * gran < len(sub):
+                    g_count *= 2
+                m_pad = min(g_count * gran, ((M + gran - 1) // gran) * gran)
+                m_pad = max(m_pad, ((len(sub) + gran - 1) // gran) * gran)
                 max_len = max(max(len(jobs[i].ref), len(jobs[i].qry)) for i in sub)
                 max_hint = max(jobs[i].hint_events for i in sub)
                 bump = max(kbumps[i] for i in sub)
                 # events are indel RUNS (walk v3 compresses deletion runs), so
                 # the buffer scales with divergence, not length; overflow
-                # triggers a retry with 4x capacity
-                K = _cover_pow2(max(64, 64 + max_len // 256, 2 * max_hint) * bump, 16384)
+                # triggers a retry with 4x capacity. Power-of-four ladder to
+                # bound shape variety.
+                K_need = max(64, 64 + max_len // 256, 2 * max_hint) * bump
+                K = 64
+                while K < K_need and K < 16384:
+                    K *= 4
                 planned.append((sub, g_sz, m_pad, R_cap, B, K, m_pad * per_problem))
 
         round_bytes = sum(p[-1] for p in planned)
