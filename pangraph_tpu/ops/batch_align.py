@@ -473,6 +473,16 @@ class TpuBatchAligner:
 
         return native.get_lib()
 
+    _device_kind_cache = None
+
+    @classmethod
+    def _device_kind(cls) -> str:
+        if cls._device_kind_cache is None:
+            import jax
+
+            cls._device_kind_cache = jax.default_backend()
+        return cls._device_kind_cache
+
     STATS = []  # (kind, n_jobs, cells, seconds) when PANGRAPH_TPU_ALIGN_STATS=1
 
     def _run_round(self, jobs: list, widths: list, kbumps: list = None):
@@ -489,6 +499,11 @@ class TpuBatchAligner:
         use_native = (
             self.backend == "v2" and self.NATIVE_CELL_BUDGET > 0 and self._native_lib() is not None
         )
+        budget = self.NATIVE_CELL_BUDGET
+        if use_native and self._device_kind() != "tpu":
+            # no accelerator: the kernel would run in Pallas interpret mode,
+            # which is never competitive with the native host aligner
+            budget = 1 << 62
         t0 = 0.0
         stats = bool(os.environ.get("PANGRAPH_TPU_ALIGN_STATS"))
         if stats:
@@ -507,13 +522,13 @@ class TpuBatchAligner:
         native_set = set()
         acc = 0
         for i in sorted(range(n), key=lambda i: cells[i]):
-            if acc + cells[i] > self.NATIVE_CELL_BUDGET:
+            if acc + cells[i] > budget:
                 break
             native_set.add(i)
             acc += cells[i]
         for i in range(n):
             # device would clamp this band; host is the only path that widens
-            if widths[i] > max_w_kernel and cells[i] <= self.NATIVE_CELL_BUDGET:
+            if widths[i] > max_w_kernel and cells[i] <= budget:
                 native_set.add(i)
         dev_idx = [i for i in range(n) if i not in native_set]
         nat_idx = [i for i in range(n) if i in native_set]
