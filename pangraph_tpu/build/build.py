@@ -124,6 +124,14 @@ def build(records, args: BuildArgs, aligner=None, find_matches_override=None, pr
     if len(set(names)) != len(names):
         raise ValueError("Duplicate sequence names in input")
 
+    if aligner is None:
+        # default production aligner: adaptive native-C++/device routing.
+        # Without it every re-alignment falls to the numpy reference aligner,
+        # which is orders of magnitude slower at scale.
+        from pangraph_tpu.ops.batch_align import TpuBatchAligner
+
+        aligner = TpuBatchAligner(args.banded_params, args.extra_band_width, args.max_alignment_attempts)
+
     graphs = {r.index: Pangraph.singleton(r.seq_name, r.seq, r.index, args.circular, desc=r.desc) for r in records}
 
     if args.guide_tree:

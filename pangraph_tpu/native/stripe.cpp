@@ -1,7 +1,7 @@
 // Native host stripe aligner: banded affine-gap DP + traceback, batched
 // over jobs with std::thread.
 //
-// Semantics are an exact scalar port of the vectorized host aligner in
+// Semantics are an exact port of the vectorized host aligner in
 // align/stripe.py (itself mirroring the reference re-aligner,
 // align/nextclade/align/score_matrix.rs + backtrace.rs + band_2d.rs:36-54):
 // same stripe geometry, tie order (match < ref-gap <=, qry-gap <=),
@@ -10,14 +10,18 @@
 //
 // Why it exists: the TPU device link costs ~30-50 ms latency per round
 // (measured through the axon tunnel), while a small merge round's whole DP
-// is often < 10 Mcells (~10 ms on one host core). The batch aligner routes
-// latency-dominated rounds here and keeps the Pallas kernel for big ones.
+// is often < 100 Mcells. The batch aligner routes latency-dominated rounds
+// (and jobs whose band outgrew the kernel's widest bucket) here and keeps
+// the Pallas kernel for the big batches.
 //
-// Row structure: each row is split into edge segments (generic per-cell code
-// with all the stripe-boundary conditions) and an interior segment where
-// diag/up moves are always in-band. The interior runs in two phases:
-//   A) elementwise match/vertical-gap phase (auto-vectorizable),
-//   B) sequential horizontal prefix-max chain + combine (scalar, cmov-heavy).
+// Execution model (mirrors the Pallas kernel's masked formulation): every
+// stripe-edge condition — diagonal/vertical predecessor in the previous
+// stripe, positional gap-extension window, first matrix column, terminal
+// free-gap column, boundary bits — is a RANGE condition on the in-row
+// index, so a row is processed as 16-lane AVX-512 blocks under k-masks with
+// no scalar edge cells. The horizontal-gap recurrence is an inclusive
+// prefix max (Hillis-Steele within a block + lane-15 carry across blocks).
+// One fused pass per row; the only cross-lane state is three carry vectors.
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -58,9 +62,9 @@ inline int64_t stripe_e(int64_t i, int64_t R, int64_t ms, int64_t W, int64_t Q) 
 
 struct Scratch {
     std::vector<int8_t> paths;
-    std::vector<int32_t> H_prev, qry_gaps, Mt, QGt, NQt, QEd, Gg;
-    std::vector<uint8_t> qmask;
-    std::vector<int32_t> msub4;   // [4][Q]: sub score vs ref base A/C/G/T
+    std::vector<int32_t> H_prev, qry_gaps;
+    std::vector<uint8_t> qmask;     // 1 front pad + Q + 16 end pad
+    std::vector<int32_t> msub4;     // 4 x (1 front pad + Q + 16 end pad)
     std::vector<int32_t> msub_row;  // scratch for rare ambiguous ref rows
 };
 
@@ -72,6 +76,16 @@ static inline __m512i prefix_max_epi32(__m512i x, __m512i neutral) {
     x = _mm512_max_epi32(x, _mm512_alignr_epi32(x, neutral, 12));  // << 4
     x = _mm512_max_epi32(x, _mm512_alignr_epi32(x, neutral, 8));   // << 8
     return x;
+}
+
+// mask of lanes with (k0 + lane) >= t, for 64-bit threshold t
+static inline __mmask16 lanes_ge(__m512i kvec, int64_t t) {
+    if (t <= INT32_MIN) return (__mmask16)0xFFFF;
+    if (t > INT32_MAX) return (__mmask16)0;
+    return _mm512_cmp_epi32_mask(kvec, _mm512_set1_epi32((int32_t)t), _MM_CMPINT_NLT);
+}
+static inline __mmask16 lanes_lt(__m512i kvec, int64_t t) {
+    return (__mmask16)~lanes_ge(kvec, t);
 }
 #endif
 
@@ -94,41 +108,33 @@ int align_one(
     stride = std::max(stride, stripe_e(0, R, ms, W, Q) - stripe_b(0, ms, W, Q));
     stride = std::max(stride, stripe_e(R, R, ms, W, Q) - stripe_b(R, ms, W, Q));
     if ((R + 1) * stride > max_paths_bytes) return 3;
-    S.paths.resize((size_t)((R + 1) * stride));
+    S.paths.resize((size_t)((R + 1) * stride + 16));
     int8_t* paths = S.paths.data();
 
-    S.H_prev.assign((size_t)(Q + 1), NOAL);
-    S.qry_gaps.assign((size_t)(Q + 1), NOAL);
+    S.H_prev.assign((size_t)(Q + 17), NOAL);
+    S.qry_gaps.assign((size_t)(Q + 17), NOAL);
     int32_t* H_prev = S.H_prev.data();
     int32_t* qry_gaps = S.qry_gaps.data();
-    if ((int64_t)S.Mt.size() < stride + 17) {
-        S.Mt.resize(stride + 17);
-        S.QGt.resize(stride + 17);
-        S.NQt.resize(stride + 17);
-        S.QEd.resize(stride + 17);
-        S.Gg.resize(stride + 17);
-    }
-    int32_t* Mt = S.Mt.data();
-    int32_t* QGt = S.QGt.data();
 
-    // per-job query-side IUPAC masks ('N' and 'n' map to 0xF)
-    S.qmask.resize((size_t)std::max<int64_t>(Q, 1));
-    uint8_t* qmask = S.qmask.data();
+    // per-job query-side IUPAC masks, padded 1 front + 16 end
+    S.qmask.assign((size_t)(Q + 17), 0);
+    uint8_t* qmask = S.qmask.data() + 1;
     for (int64_t j = 0; j < Q; j++) qmask[j] = mask[qry[j]];
 
     // substitution-score rows per ref base class (A/C/G/T): contiguous loads
-    // in the interior loop instead of a per-cell table gather. Ambiguous ref
-    // bases (IUPAC codes, 'N') are rare and use per-row scratch / a constant.
-    S.msub4.resize((size_t)(4 * std::max<int64_t>(Q, 1)));
+    // in the row loop instead of a per-cell table gather. Ambiguous ref
+    // bases (IUPAC codes, 'N') are rare and use per-row scratch.
+    const int64_t QS = Q + 17;  // padded class-row stride (1 front + 16 end)
+    S.msub4.resize((size_t)(4 * QS));
     for (int c = 0; c < 4; c++) {
-        int32_t* __restrict row = S.msub4.data() + (size_t)(c * std::max<int64_t>(Q, 1));
+        int32_t* __restrict row = S.msub4.data() + (size_t)(c * QS) + 1;
         const uint8_t bit = (uint8_t)(1 << c);
         for (int64_t j = 0; j < Q; j++) {
             const uint8_t m = qmask[j];
             row[j] = (m == 0xF) ? P.match - 1 : ((m & bit) ? P.match : -P.mismatch);
         }
     }
-    S.msub_row.resize((size_t)stride);
+    S.msub_row.resize((size_t)(stride + 32));
 
     // row 0 (score_matrix.rs:61-80)
     const int64_t e0 = stripe_e(0, R, ms, W, Q);
@@ -142,215 +148,195 @@ int align_one(
     for (int64_t i = 1; i <= R; i++) {
         const int64_t b = stripe_b(i, ms, W, Q);
         const int64_t e = stripe_e(i, R, ms, W, Q);
+        const int64_t w = e - b;
         int8_t* prow = paths + i * stride;
         const uint8_t rc = ref[i - 1];
         const bool r_unknown = rc == 'N';
         const int mrc = mask[rc];
         const bool r_free_row = P.right_free && (i == R);
         const int32_t gap_cost = r_free_row ? 0 : open_;
+        const bool has_fc = (b == 0);
+        // first matrix column (j == 0): leading query-deletion chain; uses
+        // the OLD H_prev[0], so compute before any store this row
+        const int32_t h0 = !has_fc ? 0
+                         : (P.left_free ? 0 : (i == 1 ? -open_ : H_prev[0] - ext));
 
-        // substitution score by query IUPAC mask (16 values; 0xF == 'N')
-        int32_t msub_tab[16];
-        for (int m = 0; m < 16; m++)
-            msub_tab[m] = (r_unknown || m == 0xF) ? P.match - 1
-                        : ((mrc & m) ? P.match : -P.mismatch);
+        // substitution-score row for this ref base, indexed by k with the
+        // consumed query char being qry[j-1] = qry[b-1+k]
+        const int32_t* msubRow;
+        if (mrc == 1 || mrc == 2 || mrc == 4 || mrc == 8) {
+            const int c = mrc == 1 ? 0 : mrc == 2 ? 1 : mrc == 4 ? 2 : 3;
+            msubRow = S.msub4.data() + (size_t)(c * QS) + 1 + (b - 1);
+        } else {
+            int32_t msub_tab[16];
+            for (int m = 0; m < 16; m++)
+                msub_tab[m] = (r_unknown || m == 0xF) ? P.match - 1
+                            : ((mrc & m) ? P.match : -P.mismatch);
+            int32_t* __restrict sr = S.msub_row.data();
+            const uint8_t* __restrict qm = qmask + (b - 1);
+            for (int64_t k = 0; k < w; k++) sr[k] = msub_tab[qm[k]];
+            msubRow = sr;
+        }
 
-        // interior: diag_ok, up_ok, positional gap-extension all hold, and
-        // none of the specials (first column, j==Q free gaps, k==0) apply
-        const int64_t ilo = std::max({b + 1, prev_b + 1, (int64_t)1});
-        const int64_t ihi = std::min({e, pprev_e, Q});
-
-        int64_t carry_old = (b >= 1) ? H_prev[b - 1] : NOAL;  // old H_prev[j-1]
-        int32_t G_run = NOAL, G_prev_cell = NOAL, Hm1_prev = NOAL, NQ_prev = NOAL;
-
-        // generic per-cell step (stripe edges, specials)
-        auto generic_cell = [&](int64_t j) {
-            const int64_t k = j - b;
-            int8_t path = 0;
-            const int32_t old_Hj = H_prev[j];
-            const bool diag_ok = (j - 1 >= prev_b) && (j - 1 < prev_e) && (j >= 1);
-            int32_t M;
-            if (diag_ok) {
-                M = (int32_t)carry_old + msub_tab[qmask[j - 1]];
-            } else {
-                M = NOAL;
-                if (j >= 1 && i < R && j < Q) path |= BOUND;
-            }
-            const bool up_ok = (j < prev_e) && (j >= 1);
-            const bool q_free = P.right_free && (j == Q);
-            const int32_t qg_old = qry_gaps[j];
-            const int32_t q_ext_val = q_free ? qg_old : qg_old - ext;
-            const int32_t q_open_val = q_free ? old_Hj : old_Hj - open_;
-            const bool q_ext_allowed = (q_ext_val >= q_open_val) && (j < pprev_e);
-            int32_t QG;
-            if (up_ok) {
-                QG = q_ext_allowed ? q_ext_val : q_open_val;
-                if (q_ext_allowed) path |= QRY_EXT;
-            } else {
-                QG = NOAL;
-                if (j >= 1 && j < Q && i < R) path |= BOUND;
-            }
-            qry_gaps[j] = up_ok ? QG : NOAL;
-
-            int32_t h0 = 0;
-            const bool first = (j == 0);
-            if (first) {
-                h0 = P.left_free ? 0 : (i == 1 ? -open_ : old_Hj - ext);
-                M = h0;
-                QG = NOAL;
-            }
-            const int32_t NQ = M > QG ? M : QG;
-
-            if (k == 0) {
-                G_run = NOAL;
-                if (j >= 1 && i < R && j < Q) path |= BOUND;
-            } else {
-                const int32_t cand = NQ_prev - gap_cost;
-                if (cand > G_run) G_run = cand;
-            }
-            const int32_t G = G_run;
-            if (G > NOAL && k > 1 && (G_prev_cell - ext >= Hm1_prev - gap_cost))
-                path |= REF_EXT;
-
-            int32_t best_mr;
-            int8_t origin;
-            if (G > M - la) { best_mr = G; origin = REF_GAP; }
-            else { best_mr = M; origin = MATCH; }
-            int32_t H;
-            if (QG > best_mr - la) { H = QG; origin = QRY_GAP; }
-            else { H = best_mr; }
-            if (first) { H = h0; origin = QRY_GAP; path = QRY_EXT; }
-            prow[k] = path | origin;
-            H_prev[j] = H;
-
-            carry_old = old_Hj;
-            G_prev_cell = G;
-            Hm1_prev = NQ > G ? NQ : G;
-            NQ_prev = NQ;
-        };
-
-        int64_t j = b;
-        for (; j < std::min(ilo, e); j++) generic_cell(j);
-        if (j < ihi) {
-            const int64_t seg_b = j, n_seg = ihi - seg_b;
-            // select the substitution-score row for this ref base
-            const int32_t* msubP;  // indexed by t, covers qry[seg_b-1 ...]
-            const int64_t Qs = std::max<int64_t>(Q, 1);
-            if (mrc == 1) msubP = S.msub4.data() + (seg_b - 1);
-            else if (mrc == 2) msubP = S.msub4.data() + Qs + (seg_b - 1);
-            else if (mrc == 4) msubP = S.msub4.data() + 2 * Qs + (seg_b - 1);
-            else if (mrc == 8) msubP = S.msub4.data() + 3 * Qs + (seg_b - 1);
-            else {  // ambiguous / 'N' ref base: per-row scratch
-                int32_t* __restrict sr = S.msub_row.data();
-                const uint8_t* __restrict qm = qmask + seg_b - 1;
-                for (int64_t t = 0; t < n_seg; t++) sr[t] = msub_tab[qm[t]];
-                msubP = sr;
-            }
-            // phase A: match + vertical gap, elementwise over the segment.
-            // Reads OLD H_prev/qry_gaps values (phase A writes only qry_gaps,
-            // H_prev is untouched until phase B) and fills temps for phase B.
-            // QEd >= 0 marks a vertical-gap extension (QRY_EXT bit).
-            const int32_t* __restrict Hp = H_prev + seg_b;
-            int32_t* __restrict QGr = qry_gaps + seg_b;
-            const int32_t* __restrict msubR = msubP;
-            int32_t* __restrict MtP = Mt;
-            int32_t* __restrict QGtP = QGt;
-            int32_t* __restrict NQg = S.NQt.data();  // NQg[1+t] = NQ[t]; [0] = carry
-            int32_t* __restrict QEdP = S.QEd.data();
-            NQg[0] = NQ_prev;
-            {   // t == 0: the left neighbour was already overwritten by the
-                // generic cells this row; its OLD value lives in carry_old
-                const int32_t m = (int32_t)carry_old + msubR[0];
-                const int32_t qe_v = QGr[0] - ext;
-                const int32_t qo_v = Hp[0] - open_;
-                const int32_t qg = qe_v > qo_v ? qe_v : qo_v;
-                QGr[0] = qg;
-                MtP[0] = m;
-                QGtP[0] = qg;
-                NQg[1] = m > qg ? m : qg;
-                QEdP[0] = qe_v - qo_v;
-            }
-            for (int64_t t = 1; t < n_seg; t++) {
-                const int32_t m = Hp[t - 1] + msubR[t];
-                const int32_t qe_v = QGr[t] - ext;
-                const int32_t qo_v = Hp[t] - open_;
-                const int32_t qg = qe_v > qo_v ? qe_v : qo_v;
-                QGr[t] = qg;
-                MtP[t] = m;
-                QGtP[t] = qg;
-                NQg[1 + t] = m > qg ? m : qg;
-                QEdP[t] = qe_v - qo_v;
-            }
-            // old H_prev[ihi-1], needed as carry for the generic cell at ihi
-            const int32_t old_last = Hp[n_seg - 1];
-            // phase B: horizontal prefix-max chain + combine.
-            // Gg[1+t] = G[t]; Gg[0] = carry (G at the previous cell).
-            int8_t* __restrict pr = prow + (seg_b - b);
-            int32_t* __restrict Hw = H_prev + seg_b;
-            int32_t* __restrict Gg = S.Gg.data();
-            Gg[0] = G_run;
-            const int64_t k0 = seg_b - b;
-            int64_t t = 0;
 #ifdef STRIPE_AVX512
-            {
-                const __m512i NEUT = _mm512_set1_epi32(NOAL);
-                const __m512i gcv = _mm512_set1_epi32(gap_cost);
-                const __m512i extv = _mm512_set1_epi32(ext);
-                const __m512i lav = _mm512_set1_epi32(la);
-                const __m512i vMATCH = _mm512_set1_epi32(MATCH);
-                const __m512i vREFG = _mm512_set1_epi32(REF_GAP);
-                const __m512i vQRYG = _mm512_set1_epi32(QRY_GAP);
-                const __m512i vREFX = _mm512_set1_epi32(REF_EXT);
-                const __m512i vQRYX = _mm512_set1_epi32(QRY_EXT);
-                const __m512i lane15 = _mm512_set1_epi32(15);
-                __m512i carry = _mm512_set1_epi32(G_run);
-                for (; t + 16 <= n_seg; t += 16) {
-                    const __m512i nqm1 = _mm512_loadu_si512(NQg + t);  // NQ[t-1]
-                    __m512i x = _mm512_sub_epi32(nqm1, gcv);
-                    x = prefix_max_epi32(x, NEUT);
-                    x = _mm512_max_epi32(x, carry);
-                    _mm512_storeu_si512(Gg + 1 + t, x);
-                    carry = _mm512_permutexvar_epi32(lane15, x);
-                    const __m512i G = x;
-                    const __m512i Gm1 = _mm512_loadu_si512(Gg + t);
-                    const __m512i Hm1m1 = _mm512_max_epi32(nqm1, Gm1);
-                    __mmask16 re = _mm512_cmp_epi32_mask(
-                        _mm512_sub_epi32(Gm1, extv), _mm512_sub_epi32(Hm1m1, gcv), _MM_CMPINT_NLT);
-                    re &= _mm512_cmpgt_epi32_mask(G, NEUT);
-                    const int64_t kt = k0 + t;
-                    if (kt < 2)  // k > 1 gate (first block only)
-                        re &= (__mmask16)(0xFFFFu << (unsigned)(2 - kt));
-                    const __m512i M = _mm512_loadu_si512(MtP + t);
-                    const __m512i QG = _mm512_loadu_si512(QGtP + t);
-                    const __m512i QEd = _mm512_loadu_si512(QEdP + t);
-                    const __mmask16 rsel = _mm512_cmpgt_epi32_mask(G, _mm512_sub_epi32(M, lav));
-                    const __m512i best = _mm512_mask_blend_epi32(rsel, M, G);
-                    const __mmask16 qsel = _mm512_cmpgt_epi32_mask(QG, _mm512_sub_epi32(best, lav));
-                    const __m512i H = _mm512_mask_blend_epi32(qsel, best, QG);
-                    _mm512_storeu_si512(Hw + t, H);
-                    __m512i bits = vMATCH;
-                    bits = _mm512_mask_mov_epi32(bits, rsel, vREFG);
-                    bits = _mm512_mask_mov_epi32(bits, qsel, vQRYG);
-                    const __mmask16 qext = _mm512_cmp_epi32_mask(
-                        QEd, _mm512_setzero_si512(), _MM_CMPINT_NLT);
-                    bits = _mm512_or_si512(bits, _mm512_maskz_mov_epi32(qext, vQRYX));
-                    bits = _mm512_or_si512(bits, _mm512_maskz_mov_epi32(re, vREFX));
-                    _mm_storeu_si128((__m128i*)(pr + t), _mm512_cvtepi32_epi8(bits));
+        {
+            // k-space range thresholds for every stripe-edge condition
+            const int64_t diag_lo = std::max(prev_b + 1, (int64_t)1) - b;  // k >= : diag in prev stripe
+            const int64_t diag_hi = prev_e + 1 - b;                        // k <  :
+            const int64_t ge1_lo = 1 - b;                                  // k >= : j >= 1
+            const int64_t up_hi = prev_e - b;                              // k <  : j < prev_e
+            const int64_t pose_hi = pprev_e - b;                           // k <  : positional gap ext
+            const int64_t ltQ_hi = Q - b;                                  // k <  : j < Q
+            const int64_t kQ = Q - b;                                      // k == : j == Q
+            const bool iltR = i < R;
+
+            const __m512i NEUT = _mm512_set1_epi32(NOAL);
+            const __m512i gcv = _mm512_set1_epi32(gap_cost);
+            const __m512i extv = _mm512_set1_epi32(ext);
+            const __m512i openv = _mm512_set1_epi32(open_);
+            const __m512i lav = _mm512_set1_epi32(la);
+            const __m512i h0v = _mm512_set1_epi32(h0);
+            const __m512i vMATCH = _mm512_set1_epi32(MATCH);
+            const __m512i vREFG = _mm512_set1_epi32(REF_GAP);
+            const __m512i vQRYG = _mm512_set1_epi32(QRY_GAP);
+            const __m512i vREFX = _mm512_set1_epi32(REF_EXT);
+            const __m512i vQRYX = _mm512_set1_epi32(QRY_EXT);
+            const __m512i vBND = _mm512_set1_epi32(BOUND);
+            const __m512i vFC = _mm512_set1_epi32(QRY_EXT | QRY_GAP);
+            const __m512i iota = _mm512_set_epi32(15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+            const __m512i lane15 = _mm512_set1_epi32(15);
+
+            const int32_t* __restrict Hrow = H_prev + b;
+            int32_t* __restrict Hst = H_prev + b;
+            int32_t* __restrict QGrow = qry_gaps + b;
+
+            __m512i carryH = _mm512_set1_epi32(b >= 1 ? H_prev[b - 1] : NOAL);
+            __m512i carryNQ = NEUT;     // lane 15 feeds NQ[t-1] of block lane 0
+            __m512i carryG = NEUT;      // lane 15 feeds G[t-1] of block lane 0
+            __m512i carryRun = NEUT;    // running prefix-max carry (all lanes)
+
+            for (int64_t k0 = 0; k0 < w; k0 += 16) {
+                const __mmask16 remm =
+                    (w - k0 >= 16) ? (__mmask16)0xFFFF : (__mmask16)((1u << (w - k0)) - 1);
+                const __m512i kvec = _mm512_add_epi32(iota, _mm512_set1_epi32((int32_t)k0));
+                const __mmask16 diag_m = lanes_ge(kvec, diag_lo) & lanes_lt(kvec, diag_hi);
+                const __mmask16 ge1_m = lanes_ge(kvec, ge1_lo);
+                const __mmask16 up_m = ge1_m & lanes_lt(kvec, up_hi);
+                const __mmask16 pose_m = lanes_lt(kvec, pose_hi);
+                const __mmask16 ltQ_m = lanes_lt(kvec, ltQ_hi);
+                const __mmask16 qfree_m =
+                    P.right_free ? (lanes_ge(kvec, kQ) & lanes_lt(kvec, kQ + 1)) : (__mmask16)0;
+                const __mmask16 k0_m = lanes_lt(kvec, 1);   // k == 0
+                const __mmask16 k2_m = lanes_ge(kvec, 2);   // k > 1
+                const __mmask16 fc_m = has_fc ? k0_m : (__mmask16)0;
+
+                const __m512i H_old = _mm512_loadu_si512(Hrow + k0);
+                const __m512i Hm1_old = _mm512_alignr_epi32(H_old, carryH, 15);
+                const __m512i msub = _mm512_loadu_si512(msubRow + k0);
+                __m512i M = _mm512_mask_blend_epi32(
+                    diag_m, NEUT, _mm512_add_epi32(Hm1_old, msub));
+
+                const __m512i qg_old = _mm512_loadu_si512(QGrow + k0);
+                // j == Q with free right-terminal gaps: no open/extend cost
+                const __m512i amt_e = _mm512_maskz_mov_epi32((__mmask16)~qfree_m, extv);
+                const __m512i amt_o = _mm512_maskz_mov_epi32((__mmask16)~qfree_m, openv);
+                const __m512i q_ext_val = _mm512_sub_epi32(qg_old, amt_e);
+                const __m512i q_open_val = _mm512_sub_epi32(H_old, amt_o);
+                const __mmask16 qea_m =
+                    _mm512_cmp_epi32_mask(q_ext_val, q_open_val, _MM_CMPINT_NLT) & pose_m;
+                __m512i QG = _mm512_mask_blend_epi32(
+                    up_m, NEUT, _mm512_mask_blend_epi32(qea_m, q_open_val, q_ext_val));
+                _mm512_mask_storeu_epi32(QGrow + k0, remm, QG);
+
+                M = _mm512_mask_blend_epi32(fc_m, M, h0v);
+                QG = _mm512_mask_blend_epi32(fc_m, QG, NEUT);
+                const __m512i NQ = _mm512_max_epi32(M, QG);
+
+                // horizontal gap: G[k] = max(G[k-1], NQ[k-1] - gap_cost),
+                // G[0] = NOAL exactly (first stripe cell has no left move)
+                __m512i NQm1 = _mm512_alignr_epi32(NQ, carryNQ, 15);
+                __m512i x = _mm512_sub_epi32(NQm1, gcv);
+                x = _mm512_mask_blend_epi32(k0_m, x, NEUT);
+                x = prefix_max_epi32(x, NEUT);
+                x = _mm512_max_epi32(x, carryRun);
+                const __m512i G = x;
+                const __m512i Gm1 = _mm512_alignr_epi32(G, carryG, 15);
+                const __m512i Hm1m1 = _mm512_max_epi32(NQm1, Gm1);
+                __mmask16 re_m = _mm512_cmp_epi32_mask(
+                    _mm512_sub_epi32(Gm1, extv), _mm512_sub_epi32(Hm1m1, gcv), _MM_CMPINT_NLT);
+                re_m &= _mm512_cmpgt_epi32_mask(G, NEUT) & k2_m;
+
+                const __mmask16 rsel = _mm512_cmpgt_epi32_mask(G, _mm512_sub_epi32(M, lav));
+                const __m512i best = _mm512_mask_blend_epi32(rsel, M, G);
+                const __mmask16 qsel = _mm512_cmpgt_epi32_mask(QG, _mm512_sub_epi32(best, lav));
+                __m512i H = _mm512_mask_blend_epi32(qsel, best, QG);
+                H = _mm512_mask_blend_epi32(fc_m, H, h0v);
+                _mm512_mask_storeu_epi32(Hst + k0, remm, H);
+
+                __m512i bits = vMATCH;
+                bits = _mm512_mask_mov_epi32(bits, rsel, vREFG);
+                bits = _mm512_mask_mov_epi32(bits, qsel, vQRYG);
+                bits = _mm512_or_si512(bits, _mm512_maskz_mov_epi32(up_m & qea_m, vQRYX));
+                bits = _mm512_or_si512(bits, _mm512_maskz_mov_epi32(re_m, vREFX));
+                if (iltR) {
+                    const __mmask16 bnd_m =
+                        (((__mmask16)~diag_m | (__mmask16)~up_m | k0_m) & ge1_m & ltQ_m);
+                    bits = _mm512_or_si512(bits, _mm512_maskz_mov_epi32(bnd_m, vBND));
                 }
-                if (t > 0) {
-                    G_run = G_prev_cell = Gg[t];
-                    NQ_prev = NQg[t];
-                    Hm1_prev = NQ_prev > G_prev_cell ? NQ_prev : G_prev_cell;
-                }
+                bits = _mm512_mask_blend_epi32(fc_m, bits, vFC);
+                _mm_mask_storeu_epi8(prow + k0, remm, _mm512_cvtepi32_epi8(bits));
+
+                carryH = H_old;
+                carryNQ = NQ;
+                carryG = G;
+                carryRun = _mm512_permutexvar_epi32(lane15, G);
             }
-#endif
-            for (int64_t k = k0 + t; t < n_seg; t++, k++) {
-                const int32_t cand = NQ_prev - gap_cost;
-                if (cand > G_run) G_run = cand;
+        }
+#else
+        {
+            int64_t carry_old = (b >= 1) ? H_prev[b - 1] : NOAL;
+            int32_t G_run = NOAL, G_prev_cell = NOAL, Hm1_prev = NOAL, NQ_prev = NOAL;
+            for (int64_t j = b; j < e; j++) {
+                const int64_t k = j - b;
+                int8_t path = 0;
+                const int32_t old_Hj = H_prev[j];
+                const bool diag_ok = (j - 1 >= prev_b) && (j - 1 < prev_e) && (j >= 1);
+                int32_t M;
+                if (diag_ok) {
+                    M = (int32_t)carry_old + msubRow[k];
+                } else {
+                    M = NOAL;
+                    if (j >= 1 && i < R && j < Q) path |= BOUND;
+                }
+                const bool up_ok = (j < prev_e) && (j >= 1);
+                const bool q_free = P.right_free && (j == Q);
+                const int32_t qg_old = qry_gaps[j];
+                const int32_t q_ext_val = q_free ? qg_old : qg_old - ext;
+                const int32_t q_open_val = q_free ? old_Hj : old_Hj - open_;
+                const bool q_ext_allowed = (q_ext_val >= q_open_val) && (j < pprev_e);
+                int32_t QG;
+                if (up_ok) {
+                    QG = q_ext_allowed ? q_ext_val : q_open_val;
+                    if (q_ext_allowed) path |= QRY_EXT;
+                } else {
+                    QG = NOAL;
+                    if (j >= 1 && j < Q && i < R) path |= BOUND;
+                }
+                qry_gaps[j] = up_ok ? QG : NOAL;
+                const bool first = (j == 0);
+                if (first) {
+                    M = h0;
+                    QG = NOAL;
+                }
+                const int32_t NQ = M > QG ? M : QG;
+                if (k == 0) {
+                    G_run = NOAL;
+                    if (j >= 1 && i < R && j < Q) path |= BOUND;
+                } else {
+                    const int32_t cand = NQ_prev - gap_cost;
+                    if (cand > G_run) G_run = cand;
+                }
                 const int32_t G = G_run;
-                Gg[1 + t] = G;
-                const int32_t M = MtP[t], QG = QGtP[t], NQ = NQg[1 + t];
-                int8_t path = QEdP[t] >= 0 ? QRY_EXT : 0;
                 if (G > NOAL && k > 1 && (G_prev_cell - ext >= Hm1_prev - gap_cost))
                     path |= REF_EXT;
                 int32_t best_mr;
@@ -360,17 +346,16 @@ int align_one(
                 int32_t H;
                 if (QG > best_mr - la) { H = QG; origin = QRY_GAP; }
                 else { H = best_mr; }
-                pr[t] = path | origin;
-                Hw[t] = H;
+                if (first) { H = h0; origin = QRY_GAP; path = QRY_EXT; }
+                prow[k] = path | origin;
+                H_prev[j] = H;
+                carry_old = old_Hj;
                 G_prev_cell = G;
                 Hm1_prev = NQ > G ? NQ : G;
                 NQ_prev = NQ;
             }
-            carry_old = old_last;
-            j = ihi;
         }
-        for (; j < e; j++) generic_cell(j);
-
+#endif
         pprev_e = prev_e;
         prev_b = b;
         prev_e = e;

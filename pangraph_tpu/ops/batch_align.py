@@ -414,10 +414,13 @@ class TpuBatchAligner:
             native_ready = self.NATIVE_CELL_BUDGET > 0 and self._native_lib() is not None
             for slot, idx in enumerate(pending):
                 # the kernel clamps bands at max_w_kernel; the native host path
-                # has no such cap, so widening past it is useful when the job
-                # (at the doubled width) still fits the native budget
+                # has no such cap, so widening past it is useful while the job
+                # (at the doubled width) stays under the widen-area guard —
+                # the analog of the reference's max_band_area (params.rs:152),
+                # except we accept the band-capped alignment instead of
+                # erroring out
                 widen_cap = max_w_kernel
-                if native_ready and self._job_cells(jobs[idx], 2 * widths[idx]) <= self.NATIVE_CELL_BUDGET:
+                if native_ready and self._job_cells(jobs[idx], 2 * widths[idx]) <= self.NATIVE_WIDEN_AREA:
                     widen_cap = self.NATIVE_MAX_W
                 can_widen = boundary[slot] and widths[idx] < widen_cap
                 retry = (can_widen or overflow[slot]) and attempt < self.max_attempts
@@ -462,6 +465,11 @@ class TpuBatchAligner:
     # faster on host than the device round-trip latency alone.
     NATIVE_CELL_BUDGET = int(float(os.environ.get("PANGRAPH_TPU_NATIVE_BUDGET", 100e6)))
     NATIVE_MAX_W = 1 << 20
+    # band-doubling stops once a retry would exceed this DP area (~10 s of
+    # host compute); the band-capped alignment is accepted instead
+    NATIVE_WIDEN_AREA = int(float(os.environ.get("PANGRAPH_TPU_NATIVE_WIDEN_AREA", 5e9)))
+    # per-job traceback-paths budget for the native aligner (host RAM)
+    NATIVE_PATHS_BYTES = 8 << 30
 
     @staticmethod
     def _job_cells(job: AlignJob, W: int) -> int:
@@ -478,9 +486,12 @@ class TpuBatchAligner:
     @classmethod
     def _device_kind(cls) -> str:
         if cls._device_kind_cache is None:
-            import jax
+            try:
+                import jax
 
-            cls._device_kind_cache = jax.default_backend()
+                cls._device_kind_cache = jax.default_backend()
+            except Exception:  # no usable backend: the native path needs none
+                cls._device_kind_cache = "cpu"
         return cls._device_kind_cache
 
     STATS = []  # (kind, n_jobs, cells, seconds) when PANGRAPH_TPU_ALIGN_STATS=1
@@ -596,7 +607,8 @@ class TpuBatchAligner:
             subs_cap //= 2
         with trace.span("align.native"):
             out = stripe_align_batch_native(
-                refs, qrys, ms, W, self.params, IUPAC_MASK, ops_cap=ops_cap, subs_cap=subs_cap
+                refs, qrys, ms, W, self.params, IUPAC_MASK,
+                max_paths_bytes=self.NATIVE_PATHS_BYTES, ops_cap=ops_cap, subs_cap=subs_cap,
             )
         edits = [None] * n
         boundary = [False] * n
@@ -613,7 +625,8 @@ class TpuBatchAligner:
             elif st == 2:  # output overflow: single-job retry with big caps
                 single = stripe_align_batch_native(
                     [jobs[s].ref], [jobs[s].qry], ms[s : s + 1], W[s : s + 1],
-                    self.params, IUPAC_MASK, ops_cap=1 << 20, subs_cap=1 << 21,
+                    self.params, IUPAC_MASK,
+                    max_paths_bytes=self.NATIVE_PATHS_BYTES, ops_cap=1 << 20, subs_cap=1 << 21,
                 )
                 if single is not None and int(single["status"][0]) == 0:
                     boundary[s] = bool(single["boundary"][0])
@@ -1039,9 +1052,54 @@ class TpuBatchAligner:
         return fn(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax)
 
     def _host_fallback(self, job: AlignJob) -> Edit:
+        edit = self._native_single(job)
+        if edit is not None:
+            return edit
         from pangraph_tpu.align.map_variations import map_variations
 
         return map_variations(job.ref, job.qry, job.band, self.params, self.extra)
+
+    def _native_single(self, job: AlignJob) -> Edit:
+        """Single-job native alignment with the host aligner's own retry loop
+        (align/align.rs:55-63 semantics, as map_variations). Returns None if
+        the native library is unavailable or the job exceeds its budgets —
+        the numpy aligner is the last resort then."""
+        if self._native_lib() is None:
+            return None
+        from pangraph_tpu.native import stripe_align_batch_native
+
+        w = job.band.band_width + self.extra
+        attempt = 1
+        edit = None
+        while True:
+            out = stripe_align_batch_native(
+                [job.ref], [job.qry],
+                np.array([job.band.mean_shift]), np.array([w]),
+                self.params, IUPAC_MASK,
+                max_paths_bytes=self.NATIVE_PATHS_BYTES, ops_cap=1 << 20, subs_cap=1 << 21,
+                n_threads=1,
+            )
+            if out is None:
+                return None
+            st = int(out["status"][0])
+            hb = bool(out["boundary"][0])
+            if st == 0:
+                edit = _edit_from_rle_hostmatch(
+                    out["ops"][0], int(out["n_ops"][0]), out["subs"][0], int(out["n_subs"][0]),
+                    int(out["lead_ins"][0]), job.qry,
+                )
+            elif st != 1:
+                return None  # overflow / paths over budget
+            retry = st == 1 or (st == 0 and hb)
+            if (
+                retry
+                and attempt < self.params.max_alignment_attempts
+                and self._job_cells(job, 2 * w) <= self.NATIVE_WIDEN_AREA
+            ):
+                w = max(2 * w, max(1, abs(job.band.mean_shift)))
+                attempt += 1
+                continue
+            return edit
 
     # callable interface used by MergePromise.solve / reconsensus
     def __call__(self, ref, seqs, bands) -> list:
