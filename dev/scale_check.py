@@ -61,7 +61,7 @@ def main():
     div = float(sys.argv[3]) if len(sys.argv) > 3 else 0.005
     recs = make_genomes(n, length, div)
     bp = sum(len(r.seq) for r in recs)
-    print(f"building {n} genomes x {length/1e6:.1f} Mbp ({bp/1e6:.1f} Mbp total, {div:.1%} divergence)")
+    print(f"building {n} genomes x {length/1e6:.1f} Mbp ({bp/1e6:.1f} Mbp total, {div:.1%} divergence)", flush=True)
     args = BuildArgs(circular=True, jobs=2)
     t0 = time.time()
     graph = build(recs, args)

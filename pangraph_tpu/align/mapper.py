@@ -244,21 +244,26 @@ def map_all_vs_all(
     self-mapping and dual pairs — each unordered pair is reported once).
     Returns Alignment records with block names as Hit names. All base-level
     chain-span alignments are collected first and batched through `aligner`."""
+    from pangraph_tpu.utils import trace
+
     band_params = band_params or BandedAlignParams()
     names = sorted(seqs_by_name)
     seqs = [as_seq(seqs_by_name[n]) for n in names]
-    index = build_index(seqs, names, p)
+    with trace.span("mapper.index"):
+        index = build_index(seqs, names, p)
     chain_p = ChainParams(
         k=p.k, max_gap=p.max_gap, bw=p.bw, min_score=p.min_chain_score, min_anchors=p.min_anchors
     )
     jobs = []
     for qi, qname in enumerate(names):
         qseq = seqs[qi]
-        qmm = sketch(qseq, p.k, p.w)
-        rid, rpos, qpos, rel = collect_anchors(index, qmm, qi)
-        # -X: drop self hits and dual pairs (keep rid < qi only)
-        keep = rid < qi
-        rid, rpos, qpos, rel = rid[keep], rpos[keep], qpos[keep], rel[keep]
+        with trace.span("mapper.sketch"):
+            qmm = sketch(qseq, p.k, p.w)
+        with trace.span("mapper.anchors"):
+            rid, rpos, qpos, rel = collect_anchors(index, qmm, qi)
+            # -X: drop self hits and dual pairs (keep rid < qi only)
+            keep = rid < qi
+            rid, rpos, qpos, rel = rid[keep], rpos[keep], qpos[keep], rel[keep]
         if len(rid) == 0:
             continue
         qlen = len(qseq)
@@ -267,34 +272,35 @@ def map_all_vs_all(
         q_eff = np.where(rel == 1, qlen - qpos - p.k, qpos)
         # chain per (target, strand) group
         group = rid.astype(np.int64) * 2 + rel
-        for g in np.unique(group):
-            sel = group == g
-            ri = int(g // 2)
-            strand_rel = int(g % 2)
-            chains, _scores = chain_anchors(rpos[sel], q_eff[sel], chain_p)
-            r_sel = rpos[sel]
-            q_sel = q_eff[sel]
-            for chain in chains:
-                cr_full = r_sel[chain]
-                cq_full = q_sel[chain]
-                for s, e in split_chain_at_jumps(cr_full, cq_full, p.diag_break, p.max_gap):
-                    if e - s < p.min_anchors:
-                        continue
-                    jobs.append(
-                        _prepare_chain_job(
-                            seqs[ri],
-                            qseq,
-                            rc_qry,
-                            names[ri],
-                            qname,
-                            int(index.lengths[ri]),
-                            qlen,
-                            cr_full[s:e],
-                            cq_full[s:e],
-                            strand_rel,
-                            p,
+        with trace.span("mapper.chain"):
+            for g in np.unique(group):
+                sel = group == g
+                ri = int(g // 2)
+                strand_rel = int(g % 2)
+                chains, _scores = chain_anchors(rpos[sel], q_eff[sel], chain_p)
+                r_sel = rpos[sel]
+                q_sel = q_eff[sel]
+                for chain in chains:
+                    cr_full = r_sel[chain]
+                    cq_full = q_sel[chain]
+                    for s, e in split_chain_at_jumps(cr_full, cq_full, p.diag_break, p.max_gap):
+                        if e - s < p.min_anchors:
+                            continue
+                        jobs.append(
+                            _prepare_chain_job(
+                                seqs[ri],
+                                qseq,
+                                rc_qry,
+                                names[ri],
+                                qname,
+                                int(index.lengths[ri]),
+                                qlen,
+                                cr_full[s:e],
+                                cq_full[s:e],
+                                strand_rel,
+                                p,
+                            )
                         )
-                    )
     edits = _align_chain_jobs(jobs, band_params, aligner)
     out = []
     for job, edit in zip(jobs, edits):

@@ -104,7 +104,24 @@ def sketch_cached(seq: np.ndarray, k: int, w: int) -> Minimizers:
 
 
 def sketch(seq: np.ndarray, k: int, w: int) -> Minimizers:
-    """(w,k)-minimizer sketch with canonical strand and invalid-base masking."""
+    """(w,k)-minimizer sketch with canonical strand and invalid-base masking.
+
+    Uses the native C++ rolling sketch when available (exact parity; block
+    consensuses change every merge round, so sketching is on the mapper's
+    critical path at Mbp scale); the vectorized numpy path is the fallback
+    and the reference for parity tests."""
+    if k < 32:
+        from pangraph_tpu import native
+
+        out = native.sketch_native(as_seq(seq), k, w, TWOBIT)
+        if out is not None:
+            vals, pos, strands = out
+            return Minimizers(values=vals, positions=pos, strands=strands)
+    return sketch_numpy(seq, k, w)
+
+
+def sketch_numpy(seq: np.ndarray, k: int, w: int) -> Minimizers:
+    """Vectorized numpy sketch (the native path's parity reference)."""
     fwd, rev, valid = kmer_codes(seq, k)
     n = len(fwd)
     if n == 0 or n < w:

@@ -26,7 +26,7 @@ _TRIED = False
 
 
 def _build_and_load():
-    srcs = [os.path.join(_HERE, f) for f in ("chain.cpp", "stripe.cpp")]
+    srcs = [os.path.join(_HERE, f) for f in ("chain.cpp", "stripe.cpp", "sketch.cpp")]
     h = hashlib.blake2b(digest_size=8)
     for src in srcs:
         with open(src, "rb") as f:
@@ -52,6 +52,7 @@ def get_lib():
                 lib.chain_dp.restype = None
                 lib.backtrace_band.restype = ctypes.c_int
                 lib.stripe_align_batch.restype = None
+                lib.sketch_native.restype = ctypes.c_int64
                 _LIB = lib
             except Exception as e:  # pragma: no cover
                 log.warning("native library unavailable, using numpy fallbacks: %s", e)
@@ -199,3 +200,27 @@ def stripe_align_batch_native(
         "boundary": boundary.astype(bool),
         "status": status,
     }
+
+
+def sketch_native(seq: np.ndarray, k: int, w: int, twobit: np.ndarray):
+    """(values, positions, strands) minimizer sketch via C++, or None if the
+    native library is unavailable. Exact parity with align/minimizer.sketch."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    L = len(seq)
+    cap = max(L - k + 1, 1)
+    vals = np.empty(cap, dtype=np.uint64)
+    pos = np.empty(cap, dtype=np.int64)
+    strand = np.empty(cap, dtype=np.uint8)
+    tb = np.ascontiguousarray(twobit, dtype=np.uint8)
+    n = lib.sketch_native(
+        seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(L), ctypes.c_int32(k), ctypes.c_int32(w),
+        tb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        strand.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return vals[:n].copy(), pos[:n].copy(), strand[:n].copy()
