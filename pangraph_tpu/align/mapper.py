@@ -170,15 +170,108 @@ def _prepare_chain_job(ref_seq, qry_seq, rc_qry, rid_name, qid_name, rlen, qlen,
     return _ChainJob(ref_seg, qry_seg, ms, bw, rid_name, qid_name, rlen, qlen, rs, qs, qe, rel)
 
 
-def _finish_chain_alignment(job: _ChainJob, edit) -> Alignment:
-    """Edit over the chain span -> trimmed local Alignment record."""
+ZSPLIT_WINDOW = 100        # low-identity detector window (bp)
+ZSPLIT_MAX_SUBFRAC = 0.4   # window sub fraction beyond any plausible homology
+ZSPLIT_MIN_KEEP = 100      # kept segments shorter than a block are dropped
+
+
+def _split_low_identity(edit, L: int):
+    """Split an Edit over a ref span of length L at unalignable regions.
+
+    The reference never emits alignments across such regions: minimap2's
+    ksw2 extension z-drops there (align.c; e.g. an inversion is ~75%
+    mismatch), and pangraph then sees separate hits whose gap becomes its
+    own (reverse-strand) block. Our banded extension has no z-drop, so an
+    inversion inside a chain span would be absorbed as a substitution pile.
+    Detector: any ZSPLIT_WINDOW with > ZSPLIT_MAX_SUBFRAC substitutions
+    marks an unalignable region; the complement intervals are re-emitted as
+    separate alignments. Returns [(a, b, sub_edit, q_off, q_len)] with
+    sub_edit positions shifted to interval coordinates."""
+    from pangraph_tpu.graph.edits import Edit
+
+    n_subs = len(edit.subs)
+    w = ZSPLIT_WINDOW
+    if L < 3 * w or n_subs < int(w * ZSPLIT_MAX_SUBFRAC):
+        return [(0, L, edit, 0, None)]
+    sub_pos = np.fromiter((s.pos for s in edit.subs), dtype=np.int64, count=n_subs)
+    cnt = np.bincount(sub_pos, minlength=L)
+    c = np.concatenate(([0], np.cumsum(cnt)))
+    dens = c[w:] - c[:-w]  # subs in window starting at i, i in [0, L-w]
+    bad_start = dens > int(w * ZSPLIT_MAX_SUBFRAC)
+    if not bad_start.any():
+        return [(0, L, edit, 0, None)]
+    # positions covered by any bad window
+    mark = np.zeros(L + 1, dtype=np.int64)
+    bs = np.flatnonzero(bad_start)
+    np.add.at(mark, bs, 1)
+    np.add.at(mark, bs + w, -1)
+    bad = np.cumsum(mark[:L]) > 0
+    good = ~bad
+    # good runs
+    d = np.diff(good.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if good[0]:
+        starts = np.concatenate(([0], starts))
+    if good[-1]:
+        ends = np.concatenate((ends, [L]))
+    # per-position query-offset bookkeeping
+    del_mask = np.zeros(L + 1, dtype=np.int64)
+    for dl in edit.dels:
+        del_mask[dl.pos] += 1
+        del_mask[min(dl.pos + dl.len, L)] -= 1
+    del_cum = np.concatenate(([0], np.cumsum(np.cumsum(del_mask[:L]) > 0)))  # deleted < i
+    ins_at = np.zeros(L + 1, dtype=np.int64)
+    for ins in edit.inss:
+        ins_at[ins.pos] += len(ins.seq)
+    ins_cum = np.concatenate(([0], np.cumsum(ins_at)))  # ins chars at pos <= i-1... see below
+
+    def q_before(a: int) -> int:
+        # query chars consumed before ref position a: matched/sub positions
+        # minus deletions, plus insertions at pos <= a (an Ins at pos a sits
+        # between ref[a-1] and ref[a])
+        return a - int(del_cum[a]) + int(ins_cum[a + 1])
+
+    out = []
+    for a, b in zip(starts, ends):
+        a, b = int(a), int(b)
+        if b - a < ZSPLIT_MIN_KEEP:
+            continue
+        subs = [type(s)(s.pos - a, s.alt) for s in edit.subs if a <= s.pos < b]
+        dels = []
+        for dl in edit.dels:
+            s0, e0 = max(dl.pos, a), min(dl.pos + dl.len, b)
+            if e0 > s0:
+                dels.append(type(dl)(s0 - a, e0 - s0))
+        inss = [type(i)(i.pos - a, i.seq) for i in edit.inss if a < i.pos < b]
+        q0 = q_before(a)
+        q_len = (b - a) - sum(d.len for d in dels) + sum(len(i.seq) for i in inss)
+        out.append((a, b, Edit(subs=subs, dels=dels, inss=inss), q0, q_len))
+    return out
+
+
+def _finish_chain_alignment(job: _ChainJob, edit) -> list:
+    """Edit over the chain span -> trimmed local Alignment records (one per
+    kept interval after the low-identity split)."""
+    out = []
+    for a, b, sub_edit, q0, q_len in _split_low_identity(edit, len(job.ref_seg)):
+        if q_len is None:  # whole-span fast path
+            q0, q_len = 0, job.qe - job.qs
+        aln = _emit_alignment(job, sub_edit, a, b, q0, q_len)
+        if aln is not None:
+            out.append(aln)
+    return out
+
+
+def _emit_alignment(job: _ChainJob, edit, a: int, b: int, q0: int, q_len: int) -> Alignment:
     from pangraph_tpu.align.cigar import edit_to_cigar
 
-    seg_rlen = len(job.ref_seg)
+    seg_rlen = b - a
     cigar = edit_to_cigar(edit, seg_rlen)
     # trim flanking indels into the hit interval (local alignment semantics)
-    rs, re_ = job.rs, job.rs + seg_rlen
-    qs_a, qe_a = job.qs, job.qe  # aligned-orientation coords
+    rs, re_ = job.rs + a, job.rs + b
+    qs_a = job.qs + q0
+    qe_a = qs_a + q_len  # aligned-orientation coords
     while cigar and cigar[0][1] != "M":
         n, op = cigar.pop(0)
         if op == "D":
@@ -304,7 +397,5 @@ def map_all_vs_all(
     edits = _align_chain_jobs(jobs, band_params, aligner)
     out = []
     for job, edit in zip(jobs, edits):
-        aln = _finish_chain_alignment(job, edit)
-        if aln is not None:
-            out.append(aln)
+        out.extend(_finish_chain_alignment(job, edit))
     return out

@@ -1,0 +1,115 @@
+"""Parity tests for the native C++ host kernels against their numpy
+references: the banded stripe aligner (native/stripe.cpp vs align/stripe.py
+via map_variations) and the minimizer sketch (native/sketch.cpp vs
+align/minimizer.sketch_numpy). Both must be bit-exact — routing between
+host and device paths is purely a performance decision."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pangraph_tpu.align.map_variations import map_variations
+from pangraph_tpu.align.minimizer import sketch_numpy
+from pangraph_tpu.align.params import BandedAlignParams, BandParameters
+from pangraph_tpu.graph.seq import IUPAC_MASK, TWOBIT
+from pangraph_tpu.native import get_lib, sketch_native, stripe_align_batch_native
+from pangraph_tpu.ops.batch_align import _edit_from_rle_hostmatch
+
+pytestmark = pytest.mark.skipif(get_lib() is None, reason="native library unavailable")
+
+ACGT = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _mutate(ref, n_sub, indels, rng):
+    q = list(ref)
+    for _ in range(n_sub):
+        i = rng.integers(0, len(q))
+        q[i] = ACGT[rng.integers(0, 4)]
+    for _ in range(indels):
+        i = int(rng.integers(1, max(len(q) - 1, 2)))
+        L = int(rng.integers(1, 12))
+        if rng.random() < 0.5:
+            del q[i : i + L]
+        else:
+            q[i:i] = list(ACGT[rng.integers(0, 4, L)])
+    return np.array(q, np.uint8)
+
+
+def _native_with_retries(ref, qry, ms, W, params):
+    """The batch aligner's retry loop, single job (align/align.rs:55-63)."""
+    w = W + 5
+    attempt = 1
+    edit = None
+    while True:
+        out = stripe_align_batch_native(
+            [ref], [qry], np.array([ms]), np.array([w]), params, IUPAC_MASK
+        )
+        st = int(out["status"][0])
+        hb = bool(out["boundary"][0])
+        if st == 0:
+            edit = _edit_from_rle_hostmatch(
+                out["ops"][0], int(out["n_ops"][0]), out["subs"][0], int(out["n_subs"][0]),
+                int(out["lead_ins"][0]), qry,
+            )
+        if (st == 1 or (st == 0 and hb)) and attempt < params.max_alignment_attempts:
+            w = max(2 * w, max(1, abs(ms)))
+            attempt += 1
+            continue
+        return edit
+
+
+def test_stripe_native_matches_numpy_aligner():
+    rng = np.random.default_rng(101)
+    p = BandedAlignParams()
+    for trial in range(60):
+        L = int(rng.integers(10, 1200))
+        ref = ACGT[rng.integers(0, 4, L)]
+        if trial % 7 == 0:  # N and IUPAC ambiguity codes in the reference
+            ii = rng.choice(L, max(1, L // 40), replace=False)
+            ref[ii] = ord("N")
+        if trial % 11 == 0:
+            ii = rng.choice(L, max(1, L // 60), replace=False)
+            ref[ii] = ord("R")
+        qry = _mutate(ref, int(L * 0.05), max(1, L // 150), rng)
+        ms = int(rng.integers(-15, 15))
+        W = int(rng.integers(1, 50))
+        host = map_variations(ref, qry, BandParameters(ms, W), p, extra_band_width=5)
+        native = _native_with_retries(ref, qry, ms, W, p)
+        assert native == host, f"trial {trial}: L={L} ms={ms} W={W}"
+
+
+def test_stripe_native_batch_boundary_flags():
+    """A query with a large central insertion must flag hit_boundary at a
+    narrow band (the caller's cue to retry with a doubled band)."""
+    rng = np.random.default_rng(3)
+    ref = ACGT[rng.integers(0, 4, 400)]
+    qry = np.concatenate([ref[:200], ACGT[rng.integers(0, 4, 60)], ref[200:]])
+    p = BandedAlignParams()
+    out = stripe_align_batch_native(
+        [ref], [qry], np.array([0]), np.array([5]), p, IUPAC_MASK
+    )
+    assert int(out["status"][0]) == 1 or bool(out["boundary"][0])
+
+
+def test_sketch_native_matches_numpy():
+    rng = np.random.default_rng(11)
+    ACGTN = np.frombuffer(b"ACGTN", np.uint8)
+    for trial in range(40):
+        L = int(rng.integers(1, 4000))
+        seq = ACGTN[rng.choice(5, L, p=[0.24, 0.24, 0.24, 0.24, 0.04])]
+        if trial % 5 == 0:
+            seq = np.frombuffer(bytes(seq).lower(), np.uint8).copy()
+        for k, w in [(15, 100), (19, 19), (7, 5)]:
+            got = sketch_native(seq, k, w, TWOBIT)
+            want = sketch_numpy(seq, k, w)
+            assert np.array_equal(got[0], want.values), (trial, k, w)
+            assert np.array_equal(got[1], want.positions), (trial, k, w)
+            assert np.array_equal(got[2], want.strands), (trial, k, w)
+
+
+def test_sketch_native_empty_and_short():
+    for L in (0, 1, 5, 18):
+        seq = ACGT[np.zeros(L, np.int64)]
+        got = sketch_native(seq, 19, 19, TWOBIT)
+        want = sketch_numpy(seq, 19, 19)
+        assert np.array_equal(got[0], want.values)
