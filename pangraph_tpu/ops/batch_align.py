@@ -656,6 +656,7 @@ class TpuBatchAligner:
         boundary = [False] * n
         overflow = [False] * n
         groups = {}
+        fallback_idx = []  # jobs beyond device capacity: host, overlapped
         max_w = (self.MAX_B - 2) // 2
         for i, W in enumerate(widths):
             j = jobs[i]
@@ -673,7 +674,7 @@ class TpuBatchAligner:
             if tier is None or corner > max_w:
                 # beyond the largest tier, or length mismatch so large the end
                 # corner can't sit inside the widest band
-                edits[i] = self._host_fallback(j)
+                fallback_idx.append(i)
                 continue
             groups.setdefault((tier, B), []).append(i)
 
@@ -693,8 +694,7 @@ class TpuBatchAligner:
             if g_sz * per_problem > self.HBM_BUDGET // 2:
                 # Mbp-scale tier with a very wide band: even a minimum-size
                 # group would dominate HBM — keep these off the device
-                for i in idxs:
-                    edits[i] = self._host_fallback(jobs[i])
+                fallback_idx.extend(idxs)
                 continue
             M = max((self.V2_BYTES // per_problem // g_sz) * g_sz, g_sz)
             M = min(M, 128)
@@ -723,6 +723,14 @@ class TpuBatchAligner:
                 while K < K_need and K < 16384:
                     K *= 4
                 planned.append((sub, g_sz, m_pad, R_cap, B, K, m_pad * per_problem))
+
+        # oversized jobs run on host threads overlapped with the device round
+        fb_pool = fb_futs = None
+        if fallback_idx:
+            import concurrent.futures as _cf
+
+            fb_pool = _cf.ThreadPoolExecutor(max_workers=2)
+            fb_futs = {i: fb_pool.submit(self._host_fallback, jobs[i]) for i in fallback_idx}
 
         round_bytes = sum(p[-1] for p in planned)
         if round_bytes:
@@ -759,27 +767,32 @@ class TpuBatchAligner:
         finally:
             if round_bytes:
                 self._mem_release(round_bytes)
-        for (sub, K, _), buf in zip(launched, bufs):
-            meta = buf[:, :4]
-            n_events = buf[:, 4]
-            rows = buf[:, 5 : 5 + K]
-            words = buf[:, 5 + K :]
-            for s, i in enumerate(sub):
-                j = jobs[i]
-                boundary[i] = bool(meta[s, 2])
-                overflow[i] = int(n_events[s]) > K
-                if overflow[i]:
-                    continue  # retried with a bigger event capacity
-                edit, ok = edit_from_events(rows[s], words[s], n_events[s], meta[s], j.ref, j.qry)
-                if ok:
-                    edits[i] = edit
-                elif boundary[i]:
-                    # band hit produced a degenerate edge-riding path: leave
-                    # edits[i]=None so align_many retries with a doubled band
-                    # (align/align.rs:55-63)
-                    pass
-                else:  # dead walk without boundary: rare; host fallback
-                    edits[i] = self._host_fallback(j)
+        with trace.span("align.decode"):
+            for (sub, K, _), buf in zip(launched, bufs):
+                meta = buf[:, :4]
+                n_events = buf[:, 4]
+                rows = buf[:, 5 : 5 + K]
+                words = buf[:, 5 + K :]
+                for s, i in enumerate(sub):
+                    j = jobs[i]
+                    boundary[i] = bool(meta[s, 2])
+                    overflow[i] = int(n_events[s]) > K
+                    if overflow[i]:
+                        continue  # retried with a bigger event capacity
+                    edit, ok = edit_from_events(rows[s], words[s], n_events[s], meta[s], j.ref, j.qry)
+                    if ok:
+                        edits[i] = edit
+                    elif boundary[i]:
+                        # band hit produced a degenerate edge-riding path:
+                        # leave edits[i]=None so align_many retries with a
+                        # doubled band (align/align.rs:55-63)
+                        pass
+                    else:  # dead walk without boundary: rare; host fallback
+                        edits[i] = self._host_fallback(j)
+        if fb_futs:
+            for i, f in fb_futs.items():
+                edits[i] = f.result()
+            fb_pool.shutdown()
         return edits, boundary, overflow
 
     def _run_round_pallas(self, jobs: list, widths: list):
@@ -1052,12 +1065,13 @@ class TpuBatchAligner:
         return fn(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax)
 
     def _host_fallback(self, job: AlignJob) -> Edit:
-        edit = self._native_single(job)
-        if edit is not None:
-            return edit
-        from pangraph_tpu.align.map_variations import map_variations
+        with trace.span("align.host_fallback"):
+            edit = self._native_single(job)
+            if edit is not None:
+                return edit
+            from pangraph_tpu.align.map_variations import map_variations
 
-        return map_variations(job.ref, job.qry, job.band, self.params, self.extra)
+            return map_variations(job.ref, job.qry, job.band, self.params, self.extra)
 
     def _native_single(self, job: AlignJob) -> Edit:
         """Single-job native alignment with the host aligner's own retry loop
