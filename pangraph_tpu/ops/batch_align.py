@@ -447,6 +447,13 @@ class TpuBatchAligner:
     R_TIERS = (4096, 16384, 65536, 131072, 262144, 524288, 1048576, 2097152, 4194304)
     TIER_BYTES = 256 * 1024 * 1024
     V2_BYTES = 2 * 1024 * 1024 * 1024  # per-batch paths-buffer budget (v2 kernel)
+    # paths bytes/problem beyond which the checkpointed DP + window re-derive
+    # walk is used (HBM holds carries, ~100x smaller). Aligned exactly with
+    # the HBM-infeasibility bound of the standard path (HBM_BUDGET/2 per
+    # minimum-size group of 8): below it the single-pass kernel is faster
+    # (the ckpt walk pays a grid step per re-derived window); above it the
+    # only alternative used to be the host fallback.
+    CKPT_PATHS_BYTES = int(float(os.environ.get("PANGRAPH_TPU_CKPT_BYTES", 10 * 1024 ** 3 / 2 / 8)))
     HBM_BUDGET = 10 * 1024 * 1024 * 1024  # total outstanding paths bytes across threads
     MAX_B = 1024  # widest kernel band bucket (bands beyond this are clamped)
     backend = "v2"  # "v2" | "pallas" | "fused" | "chunked"
@@ -649,7 +656,13 @@ class TpuBatchAligner:
         sub extraction (ops/stripe_v2.py)."""
         import jax
 
-        from pangraph_tpu.ops.stripe_v2 import G, edit_from_events, stripe_align_v2
+        from pangraph_tpu.ops.stripe_v2 import (
+            G,
+            ckpt_layout,
+            edit_from_events,
+            stripe_align_v2,
+            stripe_align_v2_ckpt,
+        )
 
         n = len(jobs)
         edits = [None] * n
@@ -681,9 +694,16 @@ class TpuBatchAligner:
         # plan every sub-batch first, then take ONE memory grant for the whole
         # round: per-batch grants can deadlock two concurrent rounds that each
         # wait while holding earlier batches' bytes
-        planned = []  # (sub, g_sz, m_pad, R_cap, B, K, bytes)
+        planned = []  # (sub, g_sz, m_pad, R_cap, B, K, bytes, ckpt)
         for (R_cap, B), idxs in groups.items():
             per_problem = R_cap * (B + 128) * 2  # int16 paths bytes
+            ck = None
+            if per_problem > self.CKPT_PATHS_BYTES and self.mesh is None:
+                # Mbp-scale tier: checkpointed DP + window re-derive walk —
+                # HBM holds window-start carries instead of full path records
+                WV, n_qb = ckpt_layout(B)
+                ck = (WV // 128, n_qb)
+                per_problem = (R_cap // WV) * 3 * (B + 128) * 4
             g_sz = G
             while g_sz > 8 and g_sz * per_problem > self.V2_BYTES:
                 g_sz //= 2  # floor at one sublane tile: sub-tile kernels hang Mosaic
@@ -718,11 +738,23 @@ class TpuBatchAligner:
                 # the buffer scales with divergence, not length; overflow
                 # triggers a retry with 4x capacity. Power-of-four ladder to
                 # bound shape variety.
-                K_need = max(64, 64 + max_len // 256, 2 * max_hint) * bump
+                if ck is None:
+                    K_need = max(64, 64 + max_len // 256, 2 * max_hint) * bump
+                    K_cap = 16384
+                else:
+                    # events are indel runs: they scale with divergence (the
+                    # hint), not length; the ckpt walk's event buffer lives in
+                    # per-group SMEM, so event-dense jobs (bump>1 or big
+                    # hints) go to host instead of burning device retries
+                    K_need = max(64, 64 + max_len // 4096, 2 * max_hint) * bump
+                    K_cap = 2048
                 K = 64
-                while K < K_need and K < 16384:
+                while K < K_need and K < K_cap:
                     K *= 4
-                planned.append((sub, g_sz, m_pad, R_cap, B, K, m_pad * per_problem))
+                if ck is not None and K_need > K_cap:
+                    fallback_idx.extend(sub)
+                    continue
+                planned.append((sub, g_sz, m_pad, R_cap, B, K, m_pad * per_problem, ck))
 
         # oversized jobs run on host threads overlapped with the device round
         fb_pool = fb_futs = None
@@ -732,12 +764,12 @@ class TpuBatchAligner:
             fb_pool = _cf.ThreadPoolExecutor(max_workers=2)
             fb_futs = {i: fb_pool.submit(self._host_fallback, jobs[i]) for i in fallback_idx}
 
-        round_bytes = sum(p[-1] for p in planned)
+        round_bytes = sum(p[-2] for p in planned)
         if round_bytes:
             self._mem_acquire(round_bytes)
         launched = []
         try:
-            for sub, g_sz, m_pad, R_cap, B, K, _bb in planned:
+            for sub, g_sz, m_pad, R_cap, B, K, _bb, ck in planned:
                 with trace.span("align.pack"):
                     Wq = R_cap + B
                     ref_seq = np.zeros((m_pad, R_cap), dtype=np.uint8)
@@ -757,6 +789,11 @@ class TpuBatchAligner:
                 with trace.span("align.dispatch"):
                     if self.mesh is not None:
                         out = self._sharded_align(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K)
+                    elif ck is not None:
+                        S_w, n_qb = ck
+                        out = stripe_align_v2_ckpt(
+                            ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K, S_w, n_qb, g_sz
+                        )
                     else:
                         out = stripe_align_v2(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K, g_sz)
                     packed = _pack_v2(out)

@@ -76,6 +76,124 @@ def _prefix_max_exclusive(x, G_, WN):
     return y
 
 
+def _chunk_compute(c, qm, ref_val, carry, rec_sink, *, C: int, B: int, G_: int,
+                   rlen_v, qlen_v, ms_v, W_v):
+    """Run the C rows of global DP chunk `c` (rows c*C+1 .. c*C+C).
+
+    carry = (H, qg, run) arrays [G_, WN] expressed in this chunk's window;
+    qm [G_, WN] int32 query masks for the window, ref_val [G_, C] int32 ref
+    masks for the chunk's rows. rec_sink(rg, rows) receives each KR-row
+    record block (rows: list of [G_, WN] int32 rec words) — pass None to run
+    the DP for its carries only (checkpoint pass). Returns the new carry.
+    This is the single definition of the banded DP row recurrence, shared by
+    the paths-emitting kernel, the checkpoint pass, and the walk's re-derive
+    pass."""
+    WN = B + C
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G_, WN), 1)
+    qpos = c * C + 1 + lane - ms_v - W_v
+    q_ok = (qpos >= 0) & (qpos <= qlen_v)
+
+    KR = 16  # rows per aligned int16 store (fully unrolled per block)
+
+    # loop invariants hoisted out of the row body
+    qpos1 = qpos >= 1
+    qzero = qpos == 0
+    q_free = qpos == qlen_v
+    q_lt = qpos < qlen_v
+    qm15 = qm == 15
+    lane0 = lane == 0
+
+    def row_body(j, carry):
+        H_prev, qgap, run_prev, ref_rot = carry
+        i = c * C + j + 1
+        inband = (lane >= j) & (lane < j + B)
+        in_matrix = q_ok & (i <= rlen_v) & inband
+
+        # this row's reference char: column 0 of the rotating ref carry
+        rm = jax.lax.slice_in_dim(ref_rot, 0, 1, axis=1)  # [G, 1]
+        ref_rot = pltpu.roll(ref_rot, C - 1, axis=1)
+
+        H_diag = pltpu.roll(H_prev, 1, axis=1)
+        H_diag = jnp.where(lane0, NO_ALIGN, H_diag)
+        run_d = pltpu.roll(run_prev, 1, axis=1)
+        run_d = jnp.where(lane0, 0, run_d)
+
+        diag_valid = qpos1 & in_matrix
+        edge_hi = lane == j + B - 1
+        edge_lo = lane == j
+        up_valid = ~edge_hi & qpos1 & in_matrix
+
+        unknown = (rm == 15) | qm15
+        compat = (rm & qm) > 0
+        msub = jnp.where(unknown, SCORE_MATCH - 1, jnp.where(compat, SCORE_MATCH, -PENALTY_MISMATCH))
+        M = jnp.where(diag_valid, H_diag + msub, NO_ALIGN)
+        interior = qpos1 & (i < rlen_v) & q_lt & in_matrix
+        path = jnp.where(~diag_valid & interior, BOUNDARY, 0)
+
+        q_open_val = jnp.where(q_free, H_prev, H_prev - GAP_OPEN)
+        q_ext_allowed = (qgap >= q_open_val) & (lane - j < B - 2)
+        QG = jnp.where(up_valid, jnp.where(q_ext_allowed, qgap, q_open_val), NO_ALIGN)
+        path = path | jnp.where(up_valid & q_ext_allowed, QRY_GAP_EXTEND, 0)
+        path = path | jnp.where(~up_valid & interior, BOUNDARY, 0)
+        new_qgap = jnp.where(up_valid, QG, NO_ALIGN)
+
+        first_col = qzero & in_matrix
+        M = jnp.where(first_col, 0, M)
+        NQ = jnp.maximum(M, QG)
+
+        gap_cost = jnp.where(i == rlen_v, 0, GAP_OPEN)
+        P = jnp.where(in_matrix, NQ - gap_cost, NO_ALIGN)
+        Gv = _prefix_max_exclusive(P, G_, WN)
+        Gv = jnp.where(edge_lo | ~in_matrix, NO_ALIGN, Gv)
+        path = path | jnp.where(edge_lo & interior, BOUNDARY, 0)
+        prevG = pltpu.roll(Gv, 1, axis=1)
+        prevG = jnp.where(edge_lo, NO_ALIGN, prevG)
+        Hm1 = jnp.maximum(NQ, Gv)
+        r_open_prev = pltpu.roll(Hm1 - gap_cost, 1, axis=1)
+        r_open_prev = jnp.where(edge_lo, NO_ALIGN, r_open_prev)
+        r_ext = (prevG >= r_open_prev) & (lane - j > 1)
+        path = path | jnp.where((Gv > NO_ALIGN) & r_ext, REF_GAP_EXTEND, 0)
+
+        best_mr = jnp.where(Gv >= M, Gv, M)
+        origin_mr = jnp.where(Gv >= M, REF_GAP_MATRIX, MATCH)
+        H = jnp.where(QG >= best_mr, QG, best_mr)
+        origin = jnp.where(QG >= best_mr, QRY_GAP_MATRIX, origin_mr)
+
+        H = jnp.where(first_col, 0, H)
+        origin = jnp.where(first_col, QRY_GAP_MATRIX, origin)
+        path = jnp.where(first_col, QRY_GAP_EXTEND, path)
+        path = path | origin
+        H = jnp.where(in_matrix, H, NO_ALIGN)
+        path = jnp.where(in_matrix, path, 0)
+
+        is_m = (path & MATCH) > 0
+        run = jnp.where(is_m & in_matrix, jnp.minimum(run_d + 1, RUN_CAP), 0)
+        rec32 = path | (run << 6)
+
+        live = i <= rlen_v
+        H_out = jnp.where(live, H, H_prev)
+        qg_out = jnp.where(live, new_qgap, qgap)
+        run_out = jnp.where(live, run, run_prev)
+        return (H_out, qg_out, run_out, ref_rot), rec32
+
+    def block_body(rg, carry):
+        # fully unrolled KR-row block: rows collected in registers; the sink
+        # writes them with ONE aligned store (or drops them)
+        rows = []
+        for u in range(KR):
+            carry, rec32 = row_body(rg * KR + u, carry)
+            rows.append(rec32)
+        if rec_sink is not None:
+            rec_sink(rg, rows)
+        return carry
+
+    H0, qg0, run0 = carry
+    H_fin, qg_fin, run_fin, _ = jax.lax.fori_loop(
+        0, C // KR, block_body, (H0, qg0, run0, ref_val)
+    )
+    return H_fin, qg_fin, run_fin
+
+
 def _dp_kernel(
     rlen_ref, qlen_ref, ms_ref, W_ref, gmax_ref,  # SMEM scalars
     ref_chunk_ref,  # [G_, C] int32 ref mask chunk
@@ -137,103 +255,13 @@ def _dp_kernel(
         qm = jnp.concatenate([r[:].astype(jnp.int32) for r in qsh_refs], axis=1)  # [G, WN]
         ref_val = ref_chunk_ref[:]  # [G, C] int32
 
-        KR = 16  # rows per aligned int16 store (fully unrolled per block)
+        def sink(rg, rows):
+            idx = pl.multiple_of(rg * 16, 16)
+            paths_ref[:, pl.ds(idx, 16), :] = jnp.stack(rows, axis=1).astype(jnp.int16)
 
-        # loop invariants hoisted out of the row body
-        qpos1 = qpos >= 1
-        qzero = qpos == 0
-        q_free = qpos == qlen_v
-        q_lt = qpos < qlen_v
-        qm15 = qm == 15
-        lane0 = lane == 0
-
-        def row_body(j, carry):
-            H_prev, qgap, run_prev, ref_rot = carry
-            i = c * C + j + 1
-            inband = (lane >= j) & (lane < j + B)
-            in_matrix = q_ok & (i <= rlen_v) & inband
-
-            # this row's reference char: column 0 of the rotating ref carry
-            rm = jax.lax.slice_in_dim(ref_rot, 0, 1, axis=1)  # [G, 1]
-            ref_rot = pltpu.roll(ref_rot, C - 1, axis=1)
-
-            H_diag = pltpu.roll(H_prev, 1, axis=1)
-            H_diag = jnp.where(lane0, NO_ALIGN, H_diag)
-            run_d = pltpu.roll(run_prev, 1, axis=1)
-            run_d = jnp.where(lane0, 0, run_d)
-
-            diag_valid = qpos1 & in_matrix
-            edge_hi = lane == j + B - 1
-            edge_lo = lane == j
-            up_valid = ~edge_hi & qpos1 & in_matrix
-
-            unknown = (rm == 15) | qm15
-            compat = (rm & qm) > 0
-            msub = jnp.where(unknown, SCORE_MATCH - 1, jnp.where(compat, SCORE_MATCH, -PENALTY_MISMATCH))
-            M = jnp.where(diag_valid, H_diag + msub, NO_ALIGN)
-            interior = qpos1 & (i < rlen_v) & q_lt & in_matrix
-            path = jnp.where(~diag_valid & interior, BOUNDARY, 0)
-
-            q_open_val = jnp.where(q_free, H_prev, H_prev - GAP_OPEN)
-            q_ext_allowed = (qgap >= q_open_val) & (lane - j < B - 2)
-            QG = jnp.where(up_valid, jnp.where(q_ext_allowed, qgap, q_open_val), NO_ALIGN)
-            path = path | jnp.where(up_valid & q_ext_allowed, QRY_GAP_EXTEND, 0)
-            path = path | jnp.where(~up_valid & interior, BOUNDARY, 0)
-            new_qgap = jnp.where(up_valid, QG, NO_ALIGN)
-
-            first_col = qzero & in_matrix
-            M = jnp.where(first_col, 0, M)
-            NQ = jnp.maximum(M, QG)
-
-            gap_cost = jnp.where(i == rlen_v, 0, GAP_OPEN)
-            P = jnp.where(in_matrix, NQ - gap_cost, NO_ALIGN)
-            Gv = _prefix_max_exclusive(P, G_, WN)
-            Gv = jnp.where(edge_lo | ~in_matrix, NO_ALIGN, Gv)
-            path = path | jnp.where(edge_lo & interior, BOUNDARY, 0)
-            prevG = pltpu.roll(Gv, 1, axis=1)
-            prevG = jnp.where(edge_lo, NO_ALIGN, prevG)
-            Hm1 = jnp.maximum(NQ, Gv)
-            r_open_prev = pltpu.roll(Hm1 - gap_cost, 1, axis=1)
-            r_open_prev = jnp.where(edge_lo, NO_ALIGN, r_open_prev)
-            r_ext = (prevG >= r_open_prev) & (lane - j > 1)
-            path = path | jnp.where((Gv > NO_ALIGN) & r_ext, REF_GAP_EXTEND, 0)
-
-            best_mr = jnp.where(Gv >= M, Gv, M)
-            origin_mr = jnp.where(Gv >= M, REF_GAP_MATRIX, MATCH)
-            H = jnp.where(QG >= best_mr, QG, best_mr)
-            origin = jnp.where(QG >= best_mr, QRY_GAP_MATRIX, origin_mr)
-
-            H = jnp.where(first_col, 0, H)
-            origin = jnp.where(first_col, QRY_GAP_MATRIX, origin)
-            path = jnp.where(first_col, QRY_GAP_EXTEND, path)
-            path = path | origin
-            H = jnp.where(in_matrix, H, NO_ALIGN)
-            path = jnp.where(in_matrix, path, 0)
-
-            is_m = (path & MATCH) > 0
-            run = jnp.where(is_m & in_matrix, jnp.minimum(run_d + 1, RUN_CAP), 0)
-            rec32 = path | (run << 6)
-
-            live = i <= rlen_v
-            H_out = jnp.where(live, H, H_prev)
-            qg_out = jnp.where(live, new_qgap, qgap)
-            run_out = jnp.where(live, run, run_prev)
-            return (H_out, qg_out, run_out, ref_rot), rec32
-
-        def block_body(rg, carry):
-            # fully unrolled KR-row block: rows collected in registers and
-            # written with ONE aligned store (the old per-row shift-concat
-            # accumulator copied the whole block every row)
-            rows = []
-            for u in range(KR):
-                carry, rec32 = row_body(rg * KR + u, carry)
-                rows.append(rec32)
-            idx = pl.multiple_of(rg * KR, KR)
-            paths_ref[:, pl.ds(idx, KR), :] = jnp.stack(rows, axis=1).astype(jnp.int16)
-            return carry
-
-        H_fin, qg_fin, run_fin, _ = jax.lax.fori_loop(
-            0, C // KR, block_body, (H_ref[:], qg_ref[:], run_ref[:], ref_val)
+        H_fin, qg_fin, run_fin = _chunk_compute(
+            c, qm, ref_val, (H_ref[:], qg_ref[:], run_ref[:]), sink,
+            C=C, B=B, G_=G_, rlen_v=rlen_v, qlen_v=qlen_v, ms_v=ms_v, W_v=W_v,
         )
         H_ref[:] = H_fin
         qg_ref[:] = qg_fin
@@ -281,6 +309,119 @@ def stripe_dp_v2(ref_mask, qsh_mask, rlen, qlen, ms, W, gmax, R_cap: int, B: int
         + [qspec(t) for t in range(WN // C)],
         out_specs=pl.BlockSpec((g_size, C, WN), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, R_cap, WN), jnp.int16),
+        scratch_shapes=[
+            pltpu.VMEM((g_size, WN), jnp.int32),
+            pltpu.VMEM((g_size, WN), jnp.int32),
+            pltpu.VMEM((g_size, WN), jnp.int32),
+        ],
+    )(
+        rlen.reshape(n_groups, g_size),
+        qlen.reshape(n_groups, g_size),
+        ms.reshape(n_groups, g_size),
+        W.reshape(n_groups, g_size),
+        gmax.reshape(n_groups, 1),
+        ref_mask,
+        *([qsh_mask] * (WN // C)),
+    )
+
+
+def _dp_ckpt_kernel(
+    rlen_ref, qlen_ref, ms_ref, W_ref, gmax_ref,  # SMEM scalars
+    ref_chunk_ref,  # [G_, C] int32 ref mask chunk
+    *qsh_and_out,  # WN//C query chunks, ckpt out, 3 scratch
+    C: int, B: int, G_: int, S: int,
+):
+    """Checkpoint pass: identical DP recurrence, but instead of storing the
+    full [R, WN] path records it saves the (H, qg, run) carry at the start of
+    every S-chunk window. HBM per problem drops from R*WN*2 bytes to
+    (R/(S*C))*3*WN*4 — the walk pass re-derives each window's records in
+    VMEM. This is what lets Mbp-scale problems run on device at all."""
+    WN = B + C
+    n_q = WN // C
+    qsh_refs = qsh_and_out[:n_q]
+    ckpt_ref = qsh_and_out[n_q]  # out [G_, 1, 3, WN] int32
+    H_ref, qg_ref, run_ref = qsh_and_out[n_q + 1 :]
+    g = pl.program_id(0)
+    c = pl.program_id(1)
+
+    def vec8(ref):
+        sub = jax.lax.broadcasted_iota(jnp.int32, (G_, 1), 0)
+        v = jnp.zeros((G_, 1), jnp.int32)
+        for j in range(G_):
+            v = jnp.where(sub == j, ref[g, j], v)
+        return v
+
+    rlen_v = vec8(rlen_ref)
+    qlen_v = vec8(qlen_ref)
+    ms_v = vec8(ms_ref)
+    W_v = vec8(W_ref)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G_, WN), 1)
+    qpos = c * C + 1 + lane - ms_v - W_v
+    q_ok = (qpos >= 0) & (qpos <= qlen_v)
+
+    @pl.when(c == 0)
+    def _init():
+        H_ref[:] = jnp.where(q_ok, 0, NO_ALIGN)
+        qg_ref[:] = jnp.full((G_, WN), NO_ALIGN, dtype=jnp.int32)
+        run_ref[:] = jnp.zeros((G_, WN), dtype=jnp.int32)
+
+    @pl.when(c > 0)
+    def _shift():
+        fill = lane >= WN - C
+        H_ref[:] = jnp.where(fill, NO_ALIGN, pltpu.roll(H_ref[:], WN - C, axis=1))
+        qg_ref[:] = jnp.where(fill, NO_ALIGN, pltpu.roll(qg_ref[:], WN - C, axis=1))
+        run_ref[:] = jnp.where(fill, 0, pltpu.roll(run_ref[:], WN - C, axis=1))
+
+    # save the carry ready for this window's first chunk
+    @pl.when(c % S == 0)
+    def _save():
+        ckpt_ref[:, 0, 0, :] = H_ref[:]
+        ckpt_ref[:, 0, 1, :] = qg_ref[:]
+        ckpt_ref[:, 0, 2, :] = run_ref[:]
+
+    group_max = gmax_ref[g, 0]
+
+    @pl.when(c * C < group_max)
+    def _compute():
+        qm = jnp.concatenate([r[:].astype(jnp.int32) for r in qsh_refs], axis=1)
+        H_fin, qg_fin, run_fin = _chunk_compute(
+            c, qm, ref_chunk_ref[:], (H_ref[:], qg_ref[:], run_ref[:]), None,
+            C=C, B=B, G_=G_, rlen_v=rlen_v, qlen_v=qlen_v, ms_v=ms_v, W_v=W_v,
+        )
+        H_ref[:] = H_fin
+        qg_ref[:] = qg_fin
+        run_ref[:] = run_fin
+
+
+def stripe_dp_ckpt(ref_mask, qsh_mask, rlen, qlen, ms, W, gmax, R_cap: int, B: int, S: int, g_size: int = G):
+    """Checkpoint DP pass: returns carries [n, n_windows, 3, B+DP_C] int32,
+    one per S-chunk window (window = S*DP_C rows)."""
+    C = DP_C
+    WN = B + C
+    n = ref_mask.shape[0]
+    assert n % g_size == 0 and R_cap % C == 0 and B % C == 0 and R_cap % (S * C) == 0
+    n_groups = n // g_size
+    n_chunks = R_cap // C
+    n_windows = n_chunks // S
+    grid = (n_groups, n_chunks)
+
+    def smem():
+        return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def qspec(t):
+        return pl.BlockSpec((g_size, C), lambda g, c, t=t: (g, c + t), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_dp_ckpt_kernel, C=C, B=B, G_=g_size, S=S),
+        grid=grid,
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[smem(), smem(), smem(), smem(), smem()]
+        + [pl.BlockSpec((g_size, C), lambda g, c: (g, c), memory_space=pltpu.VMEM)]
+        + [qspec(t) for t in range(WN // C)],
+        out_specs=pl.BlockSpec(
+            (g_size, 1, 3, WN), lambda g, c: (g, c // S, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, n_windows, 3, WN), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((g_size, WN), jnp.int32),
             pltpu.VMEM((g_size, WN), jnp.int32),
@@ -483,6 +624,294 @@ def walk_v2(paths, rlen, qlen, ms, W, R_cap: int, B: int, K: int):
         scratch_shapes=[pltpu.SMEM((16,), jnp.int32)],
     )(rlen, qlen, ms, W, paths)
     return rows.reshape(m, K), words.reshape(m, K), nev, meta
+
+
+def _walk_ckpt_kernel(
+    rlen_ref, qlen_ref, ms_ref, W_ref, gmax_ref,  # SMEM [n_groups, G_] / [n_groups, 1]
+    ckpt_ref,            # [G_, 1, 3, WN] int32: window-start carries
+    ref_win_ref,         # [G_, WV] int32 ref masks for this window's rows
+    *rest,               # n_qb query-mask blocks [G_, WV] u8, 4 outs, 2 scratch
+    C: int, B: int, G_: int, S: int, K: int, n_windows: int, n_qb: int,
+):
+    """Run-jump traceback over checkpointed DP: each grid step re-derives one
+    window's path records from its carry checkpoint (forward, in VMEM) and
+    walks all G_ problems of the group backwards through it. No path records
+    ever touch HBM — the walk's working set is one VMEM window."""
+    WN = B + C
+    WV = S * C
+    qsh_refs = rest[:n_qb]
+    rows_ref, words_ref, nev_ref, meta_ref = rest[n_qb : n_qb + 4]
+    recs_ref, st_ref = rest[n_qb + 4 :]
+    g = pl.program_id(0)
+    w_rev = pl.program_id(1)
+    w = n_windows - 1 - w_rev
+    c0_rows = w * WV  # rows (i-1) in [c0_rows, c0_rows + WV)
+
+    def vec8(ref):
+        sub = jax.lax.broadcasted_iota(jnp.int32, (G_, 1), 0)
+        v = jnp.zeros((G_, 1), jnp.int32)
+        for j in range(G_):
+            v = jnp.where(sub == j, ref[g, j], v)
+        return v
+
+    rlen_v = vec8(rlen_ref)
+    qlen_v = vec8(qlen_ref)
+    ms_v = vec8(ms_ref)
+    W_v = vec8(W_ref)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G_, WN), 1)
+
+    @pl.when(w_rev == 0)
+    def _init():
+        for p in range(G_):
+            st_ref[p, S_I] = rlen_ref[g, p]
+            st_ref[p, S_Q] = qlen_ref[g, p]
+            st_ref[p, S_STATE] = 0
+            st_ref[p, S_INS] = 0
+            st_ref[p, S_DEAD] = 0
+            st_ref[p, S_BND] = 0
+            st_ref[p, S_DEL] = 0
+            st_ref[p, S_IA] = 0
+            st_ref[p, S_CNT] = 0
+
+    group_max = gmax_ref[g, 0]
+
+    @pl.when(c0_rows < group_max)
+    def _rederive():
+        qsh_cat = jnp.concatenate([r[:] for r in qsh_refs], axis=1).astype(jnp.int32)
+        ref_win = ref_win_ref[:]
+
+        def chunk_body(s, carry):
+            H, qg, run = carry
+            # re-express carries in chunk s's window (skip for the first
+            # chunk: the checkpoint was captured exactly there)
+            fill = lane >= WN - C
+            H = jnp.where(s > 0, jnp.where(fill, NO_ALIGN, pltpu.roll(H, WN - C, axis=1)), H)
+            qg = jnp.where(s > 0, jnp.where(fill, NO_ALIGN, pltpu.roll(qg, WN - C, axis=1)), qg)
+            run = jnp.where(s > 0, jnp.where(fill, 0, pltpu.roll(run, WN - C, axis=1)), run)
+            c = w * S + s
+            qm = jax.lax.slice_in_dim(pltpu.roll(qsh_cat, n_qb * WV - s * C, axis=1), 0, WN, axis=1)
+            refv = jax.lax.slice_in_dim(pltpu.roll(ref_win, WV - s * C, axis=1), 0, C, axis=1)
+
+            def sink(rg, rows_):
+                idx = pl.multiple_of(s * C + rg * 16, 16)
+                recs_ref[:, pl.ds(idx, 16), :] = jnp.stack(rows_, axis=1).astype(jnp.int16)
+
+            return _chunk_compute(
+                c, qm, refv, (H, qg, run), sink,
+                C=C, B=B, G_=G_, rlen_v=rlen_v, qlen_v=qlen_v, ms_v=ms_v, W_v=W_v,
+            )
+
+        jax.lax.fori_loop(
+            0, S, chunk_body,
+            (ckpt_ref[:, 0, 0, :], ckpt_ref[:, 0, 1, :], ckpt_ref[:, 0, 2, :]),
+        )
+
+    sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, WN), 0)
+    laneW = jax.lax.broadcasted_iota(jnp.int32, (16, WN), 1)
+
+    def walk_problem(p, _):
+        msv = ms_ref[g, p]
+        Wv = W_ref[g, p]
+
+        def cond(carry):
+            i, q, st, ins, dl, ia, cnt, dead, bnd = carry
+            return (i > c0_rows) & (dead == 0)
+
+        def body(carry):
+            i, q, st, ins, dl, ia, cnt, dead, bnd = carry
+            li = i - 1 - c0_rows
+            c0_dp = (i - 1) & ~(C - 1)
+            l = q + msv + Wv - c0_dp - 1
+            j = i - 1 - c0_dp
+            in_band = (l >= j) & (l < j + B) & (l >= 0) & (l < WN)
+            slab_at = pl.multiple_of((li >> 4) << 4, 16)
+            slab = recs_ref[p, pl.ds(slab_at, 16), :].astype(jnp.int32)
+            word = jnp.sum(jnp.where((sub16 == (li & 15)) & (laneW == l), slab, 0))
+            word = jnp.where(in_band, word, 0) & 0xFFFF
+            bits = word & 63
+            runv = word >> 6
+            bnd = bnd | ((bits & BOUNDARY) > 0).astype(jnp.int32)
+
+            take_m = (st == 0) & ((bits & MATCH) > 0)
+            take_i = ((st == 0) & ((bits & REF_GAP_MATRIX) > 0) & ~take_m) | (st == REF_GAP_MATRIX)
+            take_d = ((st == 0) & ((bits & QRY_GAP_MATRIX) > 0) & ~take_m & ~take_i) | (st == QRY_GAP_MATRIX)
+            new_dead = jnp.where((bits != 0) & (take_m | take_i | take_d), 0, 1)
+            live = new_dead == 0
+
+            emit_d = live & (take_m | take_i) & (dl > 0)
+            emit_m = live & take_m & (ins > 0) & (dl == 0)
+            do_emit = emit_d | emit_m
+            row_e = jnp.where(emit_d, i, i - 1)
+            word_e = jnp.where(emit_d, OP_D | (ia << 2) | (dl << 17), OP_M | (ins << 2))
+            idx = jnp.minimum(cnt, K - 1)
+
+            @pl.when(do_emit)
+            def _emit():
+                rows_ref[p, idx] = row_e
+                words_ref[p, idx] = word_e
+
+            cnt = cnt + do_emit.astype(jnp.int32)
+            start_run = live & take_d & (dl == 0)
+            new_ia = jnp.where(start_run, ins, jnp.where(emit_d, 0, ia))
+            new_dl = jnp.where(live & take_d, dl + 1, jnp.where(emit_d, 0, dl))
+
+            new_st = jnp.where(
+                take_i,
+                jnp.where((bits & REF_GAP_EXTEND) > 0, REF_GAP_MATRIX, 0),
+                jnp.where(take_d, jnp.where((bits & QRY_GAP_EXTEND) > 0, QRY_GAP_MATRIX, 0), st),
+            )
+            L = jnp.where(take_m, jnp.minimum(jnp.maximum(runv, 1), i - c0_rows), 0)
+            di = jnp.where(take_m, L, jnp.where(take_d, 1, 0))
+            dq = jnp.where(take_m, L, jnp.where(take_i, 1, 0))
+            i = jnp.where(live, i - di, i)
+            q = jnp.where(live, q - dq, q)
+            ins = jnp.where(live, jnp.where(take_i, ins + 1, jnp.where(take_m | take_d, 0, ins)), ins)
+            st = jnp.where(live, new_st, st)
+            return i, q, st, ins, new_dl, new_ia, cnt, new_dead, bnd
+
+        carry0 = (
+            st_ref[p, S_I], st_ref[p, S_Q], st_ref[p, S_STATE], st_ref[p, S_INS],
+            st_ref[p, S_DEL], st_ref[p, S_IA], st_ref[p, S_CNT], st_ref[p, S_DEAD], st_ref[p, S_BND],
+        )
+        i, q, st, ins, dl, ia, cnt, dead, bnd = jax.lax.while_loop(cond, body, carry0)
+
+        flush = (w == 0) & (i == 0) & (dead == 0) & (dl > 0)
+
+        @pl.when(flush)
+        def _flush():
+            rows_ref[p, jnp.minimum(cnt, K - 1)] = 0
+            words_ref[p, jnp.minimum(cnt, K - 1)] = OP_D | (ia << 2) | (dl << 17)
+
+        cnt = cnt + flush.astype(jnp.int32)
+        st_ref[p, S_I] = i
+        st_ref[p, S_Q] = q
+        st_ref[p, S_STATE] = st
+        st_ref[p, S_INS] = ins
+        st_ref[p, S_DEL] = dl
+        st_ref[p, S_IA] = ia
+        st_ref[p, S_CNT] = cnt
+        st_ref[p, S_DEAD] = dead
+        st_ref[p, S_BND] = bnd
+        nev_ref[p, 0] = cnt
+        meta_ref[p, 0] = q
+        meta_ref[p, 1] = dead | jnp.where(i > 0, 1, 0).astype(jnp.int32)
+        meta_ref[p, 2] = bnd
+        meta_ref[p, 3] = ins
+        return 0
+
+    jax.lax.fori_loop(0, G_, walk_problem, 0)
+
+
+def walk_ckpt(ckpt, ref_mask, qsh_pad, rlen, qlen, ms, W,
+              R_cap: int, B: int, S: int, K: int, n_qb: int, g_size: int = 8):
+    """Traceback over checkpointed DP -> compact event lists (same contract
+    as walk_v2). qsh_pad must be padded to R_cap + (n_qb-1)*WV columns. The
+    walk group may differ from the DP group, so the per-group row bound is
+    recomputed here."""
+    C = DP_C
+    WN = B + C
+    WV = S * C
+    m = ckpt.shape[0]
+    n_windows = R_cap // WV
+    assert qsh_pad.shape[1] == R_cap + (n_qb - 1) * WV
+    n_groups = m // g_size
+    gmax = jnp.max(rlen.reshape(n_groups, g_size), axis=1).astype(jnp.int32)
+    grid = (n_groups, n_windows)
+
+    def smem():
+        return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def qspec(t):
+        return pl.BlockSpec(
+            (g_size, WV), lambda g, wr, t=t: (g, n_windows - 1 - wr + t), memory_space=pltpu.VMEM
+        )
+
+    rows, words, nev, meta = pl.pallas_call(
+        functools.partial(
+            _walk_ckpt_kernel, C=C, B=B, G_=g_size, S=S, K=K, n_windows=n_windows, n_qb=n_qb
+        ),
+        grid=grid,
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            smem(), smem(), smem(), smem(), smem(),
+            pl.BlockSpec(
+                (g_size, 1, 3, WN),
+                lambda g, wr: (g, n_windows - 1 - wr, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((g_size, WV), lambda g, wr: (g, n_windows - 1 - wr), memory_space=pltpu.VMEM),
+        ]
+        + [qspec(t) for t in range(n_qb)],
+        out_specs=[
+            pl.BlockSpec((g_size, K), lambda g, wr: (g, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g_size, K), lambda g, wr: (g, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g_size, 1), lambda g, wr: (g, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g_size, 4), lambda g, wr: (g, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, K), jnp.int32),
+            jax.ShapeDtypeStruct((m, K), jnp.int32),
+            jax.ShapeDtypeStruct((m, 1), jnp.int32),
+            jax.ShapeDtypeStruct((m, 4), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g_size, WV, WN), jnp.int16),
+            pltpu.SMEM((g_size, 16), jnp.int32),
+        ],
+    )(
+        rlen.reshape(n_groups, g_size),
+        qlen.reshape(n_groups, g_size),
+        ms.reshape(n_groups, g_size),
+        W.reshape(n_groups, g_size),
+        gmax.reshape(n_groups, 1),
+        ckpt,
+        ref_mask,
+        *([qsh_pad] * n_qb),
+    )
+    return rows, words, nev.reshape(m), meta
+
+
+def ckpt_layout(B: int, g_w: int = 8):
+    """(window_rows, n_query_blocks) for the checkpoint walk: the re-derived
+    record window [g_w, WV, B+DP_C] int16 must fit in ~4 MB VMEM; WV is a
+    power of two x 128 (so it divides every R_cap tier) and n_qb WV-blocks
+    of the padded query cover any chunk's B+DP_C window. The walk group is
+    fixed at 8 (Mosaic block-shape constraint: sublane dim % 8)."""
+    C = DP_C
+    WN = B + C
+    wv = 2048
+    while wv > C and g_w * wv * WN * 2 > 8 * 1024 * 1024:
+        wv //= 2
+    n_qb = 1 + -(-B // wv)  # ceil
+    return wv, n_qb
+
+
+@functools.partial(jax.jit, static_argnames=("R_cap", "B", "K", "S", "n_qb", "g_size"))
+def stripe_align_v2_ckpt(ref_seq, qry_seq, rlen, qlen, ms, W, gmax,
+                         R_cap: int, B: int, K: int, S: int, n_qb: int, g_size: int = G):
+    """Checkpointed device pipeline for Mbp-scale problems: DP checkpoint
+    pass (no path records in HBM) + window re-derive walk. Output contract
+    identical to stripe_align_v2."""
+    from pangraph_tpu.graph.seq import IUPAC_MASK
+
+    m, Wq = qry_seq.shape
+    assert Wq == R_cap + B
+    WV = S * DP_C
+    iupac = jnp.asarray(IUPAC_MASK)
+    ref_mask = jnp.take(iupac, ref_seq.astype(jnp.int32), mode="clip").astype(jnp.int32)
+    qry_mask = jnp.take(iupac, qry_seq.astype(jnp.int32), mode="clip")
+    shift = ms + W
+    t = jnp.arange(Wq, dtype=jnp.int32)[None, :]
+    rolled = jax.vmap(lambda row, s: jnp.roll(row, s))(qry_mask, shift)
+    valid = (t >= shift[:, None]) & (t < shift[:, None] + qlen[:, None])
+    qsh = jnp.where(valid, rolled, 0).astype(jnp.uint8)
+    qsh_pad = jnp.pad(qsh, ((0, 0), (0, (n_qb - 1) * WV - B)))
+
+    ckpt = stripe_dp_ckpt(ref_mask, qsh_pad[:, : R_cap + B], rlen, qlen, ms, W, gmax, R_cap, B, S, g_size)
+    rows, words, n_events, meta = walk_ckpt(
+        ckpt, ref_mask, qsh_pad, rlen, qlen, ms, W, R_cap, B, S, K, n_qb, g_size=8
+    )
+    return {"rows": rows, "words": words, "n_events": n_events, "meta": meta}
 
 
 @functools.partial(jax.jit, static_argnames=("R_cap", "B", "K", "g_size"))
