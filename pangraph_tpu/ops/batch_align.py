@@ -448,12 +448,15 @@ class TpuBatchAligner:
     TIER_BYTES = 256 * 1024 * 1024
     V2_BYTES = 2 * 1024 * 1024 * 1024  # per-batch paths-buffer budget (v2 kernel)
     # paths bytes/problem beyond which the checkpointed DP + window re-derive
-    # walk is used (HBM holds carries, ~100x smaller). Aligned exactly with
-    # the HBM-infeasibility bound of the standard path (HBM_BUDGET/2 per
-    # minimum-size group of 8): below it the single-pass kernel is faster
-    # (the ckpt walk pays a grid step per re-derived window); above it the
-    # only alternative used to be the host fallback.
-    CKPT_PATHS_BYTES = int(float(os.environ.get("PANGRAPH_TPU_CKPT_BYTES", 10 * 1024 ** 3 / 2 / 8)))
+    # walk is used (HBM holds carries, ~100x smaller; kernel-parity tested,
+    # tests/test_stripe_ckpt.py). Disabled by default on this hardware: the
+    # regime it serves (paths > HBM/2 per minimum group) is exactly where
+    # band-doubling retries matter, and the kernel clamp at MAX_B produces
+    # boundary-capped edits where the host fallback widens further — the
+    # poorer edits measurably degrade the downstream merge trajectory
+    # (chromosome-scale build 50 s -> 197 s). Enable on hardware where
+    # device time is cheap relative to host: PANGRAPH_TPU_CKPT_BYTES=7e8.
+    CKPT_PATHS_BYTES = int(float(os.environ.get("PANGRAPH_TPU_CKPT_BYTES", 1 << 62)))
     HBM_BUDGET = 10 * 1024 * 1024 * 1024  # total outstanding paths bytes across threads
     MAX_B = 1024  # widest kernel band bucket (bands beyond this are clamped)
     backend = "v2"  # "v2" | "pallas" | "fused" | "chunked"
