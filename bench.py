@@ -112,7 +112,7 @@ def main():
 
     pl_dt, pl_graph = timed_build(plasmids, args_p, aligner, repeats=3)
     sy_dt, sy_graph = timed_build(synth, args_s, aligner, repeats=2)
-    sc_dt, sc_graph = timed_build(scale, args_c, aligner, repeats=1)
+    sc_dt, sc_graph = timed_build(scale, args_c, aligner, repeats=2)
     sy1_dt, _ = timed_build(synth, BuildArgs(circular=True, jobs=1), aligner, repeats=1)
 
     # headline: the real bundled dataset (the synthetic set is harder than
