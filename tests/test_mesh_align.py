@@ -32,6 +32,11 @@ def test_mesh_sharded_align_matches_single_device():
     jobs = _jobs(rng, 11)
     single = TpuBatchAligner(BandedAlignParams(), 5, 4)
     sharded = TpuBatchAligner(BandedAlignParams(), 5, 4, mesh=make_mesh(8))
+    # force the device kernel: adaptive routing would otherwise send these
+    # small jobs to the native host aligner on both sides, and the sharded
+    # shard_map path would never execute
+    single.NATIVE_CELL_BUDGET = 0
+    sharded.NATIVE_CELL_BUDGET = 0
     e1 = single.align_many(jobs)
     e2 = sharded.align_many(jobs)
     for a, b, job in zip(e1, e2, jobs):
