@@ -126,11 +126,23 @@ def build(records, args: BuildArgs, aligner=None, find_matches_override=None, pr
 
     if aligner is None:
         # default production aligner: adaptive native-C++/device routing.
-        # Without it every re-alignment falls to the numpy reference aligner,
-        # which is orders of magnitude slower at scale.
+        # Only worth constructing when a real accelerator or the native host
+        # library is available — otherwise the kernel would run in Pallas
+        # interpret mode, which is orders of magnitude slower than the numpy
+        # reference aligner that aligner=None selects.
+        from pangraph_tpu import native
         from pangraph_tpu.ops.batch_align import TpuBatchAligner
 
-        aligner = TpuBatchAligner(args.banded_params, args.extra_band_width, args.max_alignment_attempts)
+        try:
+            import jax
+
+            backend = jax.default_backend()
+        except Exception:
+            backend = "cpu"
+        if backend == "tpu" or native.get_lib() is not None:
+            aligner = TpuBatchAligner(
+                args.banded_params, args.extra_band_width, args.max_alignment_attempts
+            )
 
     graphs = {r.index: Pangraph.singleton(r.seq_name, r.seq, r.index, args.circular, desc=r.desc) for r in records}
 

@@ -135,9 +135,24 @@ def _setup_logging(args):
 
 
 def main(argv=None) -> int:
+    """Dispatch with clean one-line contextual errors (the analog of the
+    reference's eyre/color-eyre report wrapping, utils/global_init.rs:65-121).
+    Tracebacks are shown with -v or PANGRAPH_TPU_DEBUG=1."""
     args = build_parser().parse_args(argv)
     _setup_logging(args)
+    import os
 
+    debug = bool(os.environ.get("PANGRAPH_TPU_DEBUG")) or getattr(args, "verbose", 0) > 0
+    try:
+        return _dispatch(args)
+    except (ValueError, OSError, KeyError, RuntimeError) as e:
+        if debug:
+            raise
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+def _dispatch(args) -> int:
     if args.command == "build":
         return _cmd_build(args)
     if args.command == "export":

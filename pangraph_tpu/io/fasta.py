@@ -21,20 +21,41 @@ class FastaRecord:
     index: int
 
 
+class FastaError(ValueError):
+    """Malformed or empty FASTA input (clean one-line message for the CLI)."""
+
+
 def read_fasta(paths, validate: bool = True) -> list:
-    """Read one or many FASTA files into records with a global running index."""
+    """Read one or many FASTA files into records with a global running index.
+
+    Raises FastaError with the offending path for unreadable files, files
+    with no FASTA records, and git-LFS pointer stubs (the reference fails
+    with a clean contextual error here too, io/fasta.rs:265-287)."""
     if isinstance(paths, (str, bytes)) or not hasattr(paths, "__iter__"):
         paths = [paths]
     records = []
     index = 0
     for path in paths:
-        with open_maybe_compressed(path, "rt") as f:
+        n_before = index
+        try:
+            f = open_maybe_compressed(path, "rt")
+        except OSError as e:
+            raise FastaError(f"cannot read FASTA input '{path}': {e}") from e
+        with f:
             name, desc, chunks = None, None, []
+            first_line = True
             for line in f:
                 line = line.rstrip()
+                if first_line:
+                    first_line = False
+                    if line.startswith("version https://git-lfs"):
+                        raise FastaError(
+                            f"'{path}' is a git-LFS pointer stub, not FASTA data "
+                            "(run `git lfs pull` to fetch the real file)"
+                        )
                 if line.startswith(">"):
                     if name is not None:
-                        records.append(_finish(name, desc, chunks, index, validate))
+                        records.append(_finish(name, desc, chunks, index, validate, path))
                         index += 1
                     header = line[1:].strip()
                     parts = header.split(None, 1)
@@ -44,15 +65,26 @@ def read_fasta(paths, validate: bool = True) -> list:
                 elif line and name is not None:
                     chunks.append(line)
             if name is not None:
-                records.append(_finish(name, desc, chunks, index, validate))
+                records.append(_finish(name, desc, chunks, index, validate, path))
                 index += 1
+        if index == n_before:
+            raise FastaError(f"no FASTA records in '{path}'")
+    if not records:
+        raise FastaError("no FASTA records in input")
     return records
 
 
-def _finish(name, desc, chunks, index, validate) -> FastaRecord:
+def _finish(name, desc, chunks, index, validate, path=None) -> FastaRecord:
     seq = as_seq("".join(chunks).upper())
+    if len(seq) == 0:
+        where = f" in '{path}'" if path else ""
+        raise FastaError(f"FASTA record '{name}'{where} has an empty sequence")
     if validate:
-        validate_alphabet(seq, name)
+        try:
+            validate_alphabet(seq, name)
+        except ValueError as e:
+            where = f" in '{path}'" if path else ""
+            raise FastaError(f"invalid sequence for record '{name}'{where}: {e}") from e
     return FastaRecord(seq_name=name, desc=desc, seq=seq, index=index)
 
 

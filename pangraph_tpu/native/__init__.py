@@ -25,39 +25,64 @@ _LIB = None
 _TRIED = False
 
 
-def _build_and_load():
+def _build_and_load(force_scalar: bool = False):
     srcs = [os.path.join(_HERE, f) for f in ("chain.cpp", "stripe.cpp", "sketch.cpp")]
     h = hashlib.blake2b(digest_size=8)
     for src in srcs:
         with open(src, "rb") as f:
             h.update(f.read())
-    so = os.path.join(_HERE, f"_native_{h.hexdigest()}.so")
+    tag = "_scalar" if force_scalar else ""
+    so = os.path.join(_HERE, f"_native_{h.hexdigest()}{tag}.so")
     if not os.path.exists(so):
         tmp = so + f".tmp{os.getpid()}"
         cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread", "-o", tmp, *srcs]
+        if force_scalar:
+            cmd.insert(1, "-DSTRIPE_FORCE_SCALAR")
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, so)
     return ctypes.CDLL(so)
 
 
+def _bind(lib):
+    lib.chain_dp.restype = None
+    lib.backtrace_band.restype = ctypes.c_int
+    lib.stripe_align_batch.restype = None
+    lib.sketch_native.restype = ctypes.c_int64
+    return lib
+
+
 def get_lib():
-    """The loaded native library, or None if unavailable."""
+    """The loaded native library, or None if unavailable.
+    PANGRAPH_TPU_FORCE_SCALAR=1 selects the scalar (non-AVX-512) build."""
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
         return _LIB
     with _LOCK:
         if _LIB is None and not _TRIED:
             try:
-                lib = _build_and_load()
-                lib.chain_dp.restype = None
-                lib.backtrace_band.restype = ctypes.c_int
-                lib.stripe_align_batch.restype = None
-                lib.sketch_native.restype = ctypes.c_int64
-                _LIB = lib
+                _LIB = _bind(_build_and_load(force_scalar=bool(os.environ.get("PANGRAPH_TPU_FORCE_SCALAR"))))
             except Exception as e:  # pragma: no cover
                 log.warning("native library unavailable, using numpy fallbacks: %s", e)
             _TRIED = True
     return _LIB
+
+
+_SCALAR_LIB = None
+
+
+def get_scalar_lib():
+    """The -DSTRIPE_FORCE_SCALAR build, for dual-path parity tests. Returns
+    None when the toolchain is unavailable."""
+    global _SCALAR_LIB
+    if _SCALAR_LIB is None:
+        with _LOCK:
+            if _SCALAR_LIB is None:
+                try:
+                    _SCALAR_LIB = _bind(_build_and_load(force_scalar=True))
+                except Exception as e:  # pragma: no cover
+                    log.warning("scalar native build unavailable: %s", e)
+                    return None
+    return _SCALAR_LIB
 
 
 def chain_dp_native(rpos: np.ndarray, qpos: np.ndarray, k: int, max_gap: int, bw: int, window: int):
@@ -135,15 +160,16 @@ def stripe_align_batch_native(
     ops_cap: int = 65536,
     subs_cap: int = 262144,
     n_threads: int = 0,
+    lib=None,
 ):
     """Batched banded stripe alignment on host (C++, threaded across jobs).
 
     refs/qrys: lists of uint8 arrays; ms/W: per-job band params. Returns a
     dict of flat result arrays (ops, n_ops, subs, n_subs, lead_ins, boundary,
     status) or None if the native library is unavailable. status per job:
-    0 ok, 1 boundary-retry, 2 overflow, 3 paths over budget.
-    """
-    lib = get_lib()
+    0 ok, 1 boundary-retry, 2 overflow, 3 paths over budget. `lib` overrides
+    the default library (parity tests pass get_scalar_lib())."""
+    lib = lib or get_lib()
     if lib is None:
         return None
     n = len(refs)

@@ -28,7 +28,10 @@
 #include <thread>
 #include <atomic>
 #include <algorithm>
-#if defined(__AVX512F__) && defined(__AVX512BW__)
+// STRIPE_FORCE_SCALAR (-DSTRIPE_FORCE_SCALAR) selects the scalar row loop on
+// AVX-512 hosts so parity tests can exercise BOTH implementations of the
+// recurrence (they are independent code paths selected at compile time).
+#if defined(__AVX512F__) && defined(__AVX512BW__) && !defined(STRIPE_FORCE_SCALAR)
 #include <immintrin.h>
 #define STRIPE_AVX512 1
 #endif

@@ -21,17 +21,6 @@ from pangraph_tpu.utils import trace
 
 log = logging.getLogger(__name__)
 
-MATCH = 1
-REF_GAP_MATRIX = 2
-QRY_GAP_MATRIX = 4
-REF_GAP_EXTEND = 8
-QRY_GAP_EXTEND = 16
-BOUNDARY = 32
-
-# memory budget for one kernel call's traceback buffer (bytes)
-PATHS_BYTES_BUDGET = 256 * 1024 * 1024
-
-
 @dataclass
 class AlignJob:
     ref: np.ndarray  # uint8 sequence
@@ -56,154 +45,6 @@ def _bucket_b(W: int) -> int:
     return max(_round_up(2 * W + 2, 128), 128)
 
 
-def band_lo_host(i, ms, W, qlen, B):
-    lo = i - ms - W
-    hi = qlen + 1 - B
-    if hi < 0:
-        hi = 0
-    if lo < 0:
-        return 0
-    return lo if lo < hi else hi
-
-
-def backtrace_band(paths: np.ndarray, ref: np.ndarray, qry: np.ndarray, ms: int, W: int, B: int):
-    """Walk traceback bits in band coordinates, emitting an Edit directly.
-
-    Returns (edit, hit_boundary). paths rows are DP rows 1..R (row 0 implicit).
-    """
-    rlen, qlen = len(ref), len(qry)
-    i, q = rlen, qlen
-    subs, dels, inss = [], [], []
-    del_run = 0  # current deletion run length (ends at ref pos i + del_run)
-    ins_run = []  # current insertion chars (reversed)
-    hit_boundary = False
-    state = 0
-    flat = paths.tobytes()  # fast scalar indexing
-    ref = ref.tobytes() if hasattr(ref, "tobytes") else ref
-    qry_b = qry.tobytes() if hasattr(qry, "tobytes") else qry
-    qry = qry_b
-    lo_hi = qlen + 1 - B
-    if lo_hi < 0:
-        lo_hi = 0
-    lo_base = -ms - W  # lo(i) = clamp(i + lo_base, 0, lo_hi)
-    while i > 0:
-        lo = i + lo_base
-        if lo < 0:
-            lo = 0
-        elif lo > lo_hi:
-            lo = lo_hi
-        k = q - lo
-        if k < 0 or k >= B:
-            return None, True  # fell out of band: force retry
-        bits = flat[(i - 1) * B + k]
-        if bits == 0:
-            return None, True
-        if bits & BOUNDARY:
-            hit_boundary = True
-        if (bits & MATCH) and state == 0:
-            if ins_run:
-                inss.append(Ins(i, bytes(ins_run[::-1]).decode()))
-                ins_run = []
-            if del_run:
-                dels.append(Del(i, del_run))
-                del_run = 0
-            i -= 1
-            q -= 1
-            if ref[i] != qry[q]:
-                subs.append(Sub(i, chr(int(qry[q]))))
-        elif ((bits & REF_GAP_MATRIX) and state == 0) or state == REF_GAP_MATRIX:
-            # insertion in query (ref gap)
-            if del_run:
-                dels.append(Del(i, del_run))
-                del_run = 0
-            q -= 1
-            ins_run.append(int(qry[q]))
-            state = REF_GAP_MATRIX if bits & REF_GAP_EXTEND else 0
-        elif ((bits & QRY_GAP_MATRIX) and state == 0) or state == QRY_GAP_MATRIX:
-            # deletion in query (qry gap)
-            if ins_run:
-                inss.append(Ins(i, bytes(ins_run[::-1]).decode()))
-                ins_run = []
-            i -= 1
-            del_run += 1
-            state = QRY_GAP_MATRIX if bits & QRY_GAP_EXTEND else 0
-        else:
-            return None, True
-    if q > 0:
-        # row 0 reached with query remaining: leading insertion
-        lead = bytes(qry[:q]).decode()
-        if ins_run:
-            lead = lead + bytes(ins_run[::-1]).decode()
-        inss.append(Ins(0, lead))
-    elif ins_run:
-        inss.append(Ins(0, bytes(ins_run[::-1]).decode()))
-    if del_run:
-        dels.append(Del(0, del_run))
-    subs.reverse()
-    dels.reverse()
-    inss.reverse()
-    return Edit(subs=subs, dels=dels, inss=inss), hit_boundary
-
-
-def _cover_pow2(n: int, cap: int) -> int:
-    k = 16
-    while k < n:
-        k *= 2
-    return min(k, cap)
-
-
-def _pack_payload(ops, subs, ops_k: int, subs_k: int):
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
-    @functools.partial(jax.jit, static_argnames=("ok", "sk"))
-    def pack(ops, subs, ok, sk):
-        m = ops.shape[0]
-        a = jax.lax.slice_in_dim(ops, 0, ok, axis=1).reshape(m, -1)
-        b = jax.lax.slice_in_dim(subs, 0, sk, axis=1).reshape(m, -1)
-        return jnp.concatenate([a, b], axis=1)
-
-    return pack(ops, subs, ops_k, subs_k)
-
-
-def _pack3_jit():
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
-    @functools.partial(jax.jit, static_argnames=("sk", "dk", "ik"))
-    def pack(subs, dels, inss, sk, dk, ik):
-        m = subs.shape[0]
-        a = jax.lax.slice_in_dim(subs, 0, sk, axis=1).reshape(m, -1)
-        b = jax.lax.slice_in_dim(dels, 0, dk, axis=1).reshape(m, -1)
-        c = jax.lax.slice_in_dim(inss, 0, ik, axis=1).reshape(m, -1)
-        return jnp.concatenate([a, b, c], axis=1)
-
-    return pack
-
-
-def _pack_mp_jit():
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
-    @functools.partial(jax.jit, static_argnames=("sk", "dk", "ik"))
-    def pack(meta, subs, dels, inss, sk, dk, ik):
-        m = meta.shape[0]
-        a = jax.lax.slice_in_dim(subs, 0, sk, axis=1).reshape(m, -1)
-        b = jax.lax.slice_in_dim(dels, 0, dk, axis=1).reshape(m, -1)
-        c = jax.lax.slice_in_dim(inss, 0, ik, axis=1).reshape(m, -1)
-        return jnp.concatenate([meta, a, b, c], axis=1)
-
-    return pack
-
-
-_PACK3 = None
-_PACK_MP = None
 _PACK_V2 = None
 
 
@@ -225,99 +66,6 @@ def _pack_v2(out: dict):
     if _PACK_V2 is None:
         _PACK_V2 = _pack_v2_jit()
     return _PACK_V2(out["meta"], out["n_events"], out["rows"], out["words"])
-
-
-def _pack_payload3(subs, dels, inss, sk: int, dk: int, ik: int):
-    global _PACK3
-    if _PACK3 is None:
-        _PACK3 = _pack3_jit()
-    return _PACK3(subs, dels, inss, sk=sk, dk=dk, ik=ik)
-
-
-def _pack_meta_payload(out: dict, sk: int, dk: int, ik: int):
-    """Device-side pack of meta + trimmed edit lists into ONE buffer
-    [m, 6 + sk*2 + dk*2 + ik*3] so a whole round's results cross the
-    D2H link in a single jax.device_get (the tunnel costs ~36 ms latency
-    per transfer round-trip, so transfer count dominates for small results)."""
-    global _PACK_MP
-    if _PACK_MP is None:
-        _PACK_MP = _pack_mp_jit()
-    return _PACK_MP(out["meta"], out["subs"], out["dels"], out["inss"], sk=sk, dk=dk, ik=ik)
-
-
-def _unpack_meta_payload(buf: np.ndarray, sk: int, dk: int, ik: int) -> dict:
-    m = buf.shape[0]
-    o = 6
-    return {
-        "meta": buf[:, :o],
-        "subs": buf[:, o : o + sk * 2].reshape(m, sk, 2),
-        "dels": buf[:, o + sk * 2 : o + sk * 2 + dk * 2].reshape(m, dk, 2),
-        "inss": buf[:, o + sk * 2 + dk * 2 :].reshape(m, ik, 3),
-    }
-
-
-def _predict_caps(jobs: list, sub_cap: int, del_cap: int, ins_cap: int):
-    """Heuristic per-batch trim caps: edits scale with length x divergence
-    (closely related genomes, ~1-2%; budget ~12%). Overflows trigger an
-    exact re-fetch, so this only trades bytes vs. a rare second transfer."""
-    max_len = max((max(len(j.ref), len(j.qry)) for j in jobs), default=1)
-    sk = _cover_pow2(64 + max_len // 8, sub_cap)
-    dk = _cover_pow2(16 + max_len // 64, del_cap)
-    ik = _cover_pow2(16 + max_len // 64, ins_cap)
-    return sk, dk, ik
-
-
-def _fetch_lists(out: dict) -> dict:
-    """Two-transfer fetch of the edit-list outputs (subs/dels/inss + meta)."""
-    meta = np.asarray(out["meta"])  # [m, 6]: n_subs, n_dels, n_inss, lead, boundary, overflow
-    sk = _cover_pow2(int(meta[:, 0].max(initial=0)), out["subs"].shape[1])
-    dk = _cover_pow2(int(meta[:, 1].max(initial=0)), out["dels"].shape[1])
-    ik = _cover_pow2(int(meta[:, 2].max(initial=0)), out["inss"].shape[1])
-    payload = np.asarray(_pack_payload3(out["subs"], out["dels"], out["inss"], sk, dk, ik))
-    m = payload.shape[0]
-    return {
-        "meta": meta,
-        "subs": payload[:, : sk * 2].reshape(m, sk, 2),
-        "dels": payload[:, sk * 2 : sk * 2 + dk * 2].reshape(m, dk, 2),
-        "inss": payload[:, sk * 2 + dk * 2 :].reshape(m, ik, 3),
-    }
-
-
-def _edit_from_lists(out: dict, s: int, qry: np.ndarray) -> Edit:
-    """Assemble an Edit from the decoded per-problem edit lists."""
-    meta = out["meta"][s]
-    n_subs, n_dels, n_inss, lead = int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3])
-    subs = [Sub(int(p), chr(int(c))) for p, c in out["subs"][s, :n_subs]]
-    dels = [Del(int(p), int(ln)) for p, ln in out["dels"][s, :n_dels]]
-    inss = []
-    if lead:
-        inss.append(Ins(0, bytes(qry[:lead]).decode()))
-    for p, qs, ln in out["inss"][s, :n_inss]:
-        inss.append(Ins(int(p), bytes(qry[int(qs) : int(qs) + int(ln)]).decode()))
-    return Edit(subs=subs, dels=dels, inss=inss)
-
-
-def _fetch_trimmed(out: dict) -> dict:
-    """Device->host fetch of the aligner's compact outputs in exactly two
-    transfers: the packed per-problem meta row, then one buffer holding the
-    ops/subs payloads trimmed on device to a power-of-two cover of the actual
-    counts. The tunnel's D2H cost is ~50 ms latency per transfer, so transfer
-    count — not bytes — is what matters for these small results."""
-    meta = np.asarray(out["meta"])  # [m, 5]: n_ops, n_subs, lead_ins, boundary, overflow
-    n_ops, n_subs = meta[:, 0], meta[:, 1]
-    ops_k = _cover_pow2(int(n_ops.max(initial=0)), out["ops"].shape[1])
-    subs_k = _cover_pow2(int(n_subs.max(initial=0)), out["subs"].shape[1])
-    payload = np.asarray(_pack_payload(out["ops"], out["subs"], ops_k, subs_k))
-    m = payload.shape[0]
-    return {
-        "n_ops": n_ops,
-        "n_subs": n_subs,
-        "lead_ins": meta[:, 2],
-        "boundary": meta[:, 3].astype(bool),
-        "overflow": meta[:, 4].astype(bool),
-        "ops": payload[:, : ops_k * 2].reshape(m, ops_k, 2),
-        "subs": payload[:, ops_k * 2 :].reshape(m, subs_k, 2),
-    }
 
 
 def _edit_from_rle_hostmatch(ops, n_ops, subs, n_subs, lead_ins, qry) -> Edit:
@@ -344,30 +92,6 @@ def _edit_from_rle_hostmatch(ops, n_ops, subs, n_subs, lead_ins, qry) -> Edit:
                 dels.append(Del(rpos, length))
             rpos += length
         else:  # insertion
-            inss.append(Ins(rpos, bytes(qry[qpos : qpos + length]).decode()))
-            qpos += length
-    return Edit(subs=out_subs, dels=dels, inss=inss)
-
-
-def _edit_from_rle(ops, n_ops, subs, n_subs, lead_ins, qry) -> Edit:
-    """Build an Edit from the fused kernel's compact outputs. ops are emitted
-    end-to-start; subs carry absolute ref positions + query chars."""
-    OP_M, OP_I, OP_D = 0, 1, 2
-    out_subs = [Sub(int(subs[s, 0]), chr(int(subs[s, 1]))) for s in range(n_subs - 1, -1, -1)]
-    dels, inss = [], []
-    rpos = 0
-    qpos = lead_ins
-    if lead_ins:
-        inss.append(Ins(0, bytes(qry[:lead_ins]).decode()))
-    for t in range(n_ops - 1, -1, -1):
-        op, length = int(ops[t, 0]), int(ops[t, 1])
-        if op == OP_M:
-            rpos += length
-            qpos += length
-        elif op == OP_D:
-            dels.append(Del(rpos, length))
-            rpos += length
-        else:
             inss.append(Ins(rpos, bytes(qry[qpos : qpos + length]).decode()))
             qpos += length
     return Edit(subs=out_subs, dels=dels, inss=inss)
@@ -440,12 +164,9 @@ class TpuBatchAligner:
         return results
 
     # ------------------------------------------------------------------ impl
-    CHUNK_ROWS = 512  # C: rows per kernel dispatch (one compile per (C, B))
-    MAX_SUB_BATCH = 128
-    # fused-kernel tiers: R_cap ladder; batch size derived from a paths-buffer
+    # v2-kernel tiers: R_cap ladder; batch size derived from a paths-buffer
     # budget so each (R_cap, B) tier compiles exactly once
     R_TIERS = (4096, 16384, 65536, 131072, 262144, 524288, 1048576, 2097152, 4194304)
-    TIER_BYTES = 256 * 1024 * 1024
     V2_BYTES = 2 * 1024 * 1024 * 1024  # per-batch paths-buffer budget (v2 kernel)
     # paths bytes/problem beyond which the checkpointed DP + window re-derive
     # walk is used (HBM holds carries, ~100x smaller; kernel-parity tested,
@@ -459,15 +180,6 @@ class TpuBatchAligner:
     CKPT_PATHS_BYTES = int(float(os.environ.get("PANGRAPH_TPU_CKPT_BYTES", 1 << 62)))
     HBM_BUDGET = 10 * 1024 * 1024 * 1024  # total outstanding paths bytes across threads
     MAX_B = 1024  # widest kernel band bucket (bands beyond this are clamped)
-    backend = "v2"  # "v2" | "pallas" | "fused" | "chunked"
-
-    def _tier_batch(self, R_cap: int, B: int) -> int:
-        m = max(self.TIER_BYTES // (R_cap * B), 1)
-        # round down to a power of two, cap at 128
-        p = 1
-        while p * 2 <= min(m, 128):
-            p *= 2
-        return p
 
     # adaptive host/device dispatch: the device link costs ~30-50 ms latency
     # per round (axon tunnel), while the native C++ aligner does ~0.5 Gcells/s
@@ -517,9 +229,7 @@ class TpuBatchAligner:
         make progress instead of re-running clamped."""
         n = len(jobs)
         kbumps = kbumps or [1] * n
-        use_native = (
-            self.backend == "v2" and self.NATIVE_CELL_BUDGET > 0 and self._native_lib() is not None
-        )
+        use_native = self.NATIVE_CELL_BUDGET > 0 and self._native_lib() is not None
         budget = self.NATIVE_CELL_BUDGET
         if use_native and self._device_kind() != "tpu":
             # no accelerator: the kernel would run in Pallas interpret mode,
@@ -535,7 +245,7 @@ class TpuBatchAligner:
             out = self._dispatch_device(jobs, widths, kbumps)
             if stats:
                 cells = sum(self._job_cells(j, w) for j, w in zip(jobs, widths))
-                self.STATS.append((self.backend, n, cells, _time.time() - t0))
+                self.STATS.append(("v2", n, cells, _time.time() - t0))
             return out
 
         max_w_kernel = (self.MAX_B - 2) // 2
@@ -548,8 +258,12 @@ class TpuBatchAligner:
             native_set.add(i)
             acc += cells[i]
         for i in range(n):
-            # device would clamp this band; host is the only path that widens
-            if widths[i] > max_w_kernel and cells[i] <= budget:
+            # device would clamp this band; host is the only path that widens.
+            # The gate must match align_many's widen predicate (NATIVE_WIDEN_AREA,
+            # not the small latency budget), or jobs between the two thresholds
+            # get widened, re-clamped on device, and burn max_attempts retrying
+            # identical rounds.
+            if widths[i] > max_w_kernel and cells[i] <= self.NATIVE_WIDEN_AREA:
                 native_set.add(i)
         dev_idx = [i for i in range(n) if i not in native_set]
         nat_idx = [i for i in range(n) if i in native_set]
@@ -587,15 +301,7 @@ class TpuBatchAligner:
         return edits, boundary, overflow
 
     def _dispatch_device(self, jobs: list, widths: list, kbumps: list = None):
-        if self.backend == "v2":
-            return self._run_round_v2(jobs, widths, kbumps or [1] * len(jobs))
-        if self.backend == "pallas":
-            e, b = self._run_round_pallas(jobs, widths)
-        elif self.backend == "fused":
-            e, b = self._run_round_fused(jobs, widths)
-        else:
-            e, b = self._run_round_chunked(jobs, widths)
-        return e, b, [False] * len(jobs)
+        return self._run_round_v2(jobs, widths, kbumps or [1] * len(jobs))
 
     def _run_round_native(self, jobs: list, widths: list):
         """Host C++ round: banded stripe DP + traceback per job, threaded
@@ -657,15 +363,7 @@ class TpuBatchAligner:
         One device_get moves every batch's packed results (meta + event
         rows/words) across the D2H link; decode is host-side RLE + vectorized
         sub extraction (ops/stripe_v2.py)."""
-        import jax
-
-        from pangraph_tpu.ops.stripe_v2 import (
-            G,
-            ckpt_layout,
-            edit_from_events,
-            stripe_align_v2,
-            stripe_align_v2_ckpt,
-        )
+        from pangraph_tpu.ops.stripe_v2 import G, ckpt_layout
 
         n = len(jobs)
         edits = [None] * n
@@ -704,7 +402,12 @@ class TpuBatchAligner:
             if per_problem > self.CKPT_PATHS_BYTES and self.mesh is None:
                 # Mbp-scale tier: checkpointed DP + window re-derive walk —
                 # HBM holds window-start carries instead of full path records
-                WV, n_qb = ckpt_layout(B)
+                try:
+                    WV, n_qb = ckpt_layout(B)
+                except ValueError:
+                    # band too wide for the walk's VMEM window: host path
+                    fallback_idx.extend(idxs)
+                    continue
                 ck = (WV // 128, n_qb)
                 per_problem = (R_cap // WV) * 3 * (B + 128) * 4
             g_sz = G
@@ -766,6 +469,23 @@ class TpuBatchAligner:
 
             fb_pool = _cf.ThreadPoolExecutor(max_workers=2)
             fb_futs = {i: fb_pool.submit(self._host_fallback, jobs[i]) for i in fallback_idx}
+
+        try:
+            return self._run_planned(jobs, planned, edits, boundary, overflow, fb_futs)
+        finally:
+            # shut the fallback pool down on ALL paths (a raising device
+            # dispatch must not leak the pool or its in-flight futures)
+            if fb_pool is not None:
+                fb_pool.shutdown(wait=True)
+
+    def _run_planned(self, jobs, planned, edits, boundary, overflow, fb_futs):
+        import jax
+
+        from pangraph_tpu.ops.stripe_v2 import (
+            edit_from_events,
+            stripe_align_v2,
+            stripe_align_v2_ckpt,
+        )
 
         round_bytes = sum(p[-2] for p in planned)
         if round_bytes:
@@ -832,235 +552,7 @@ class TpuBatchAligner:
         if fb_futs:
             for i, f in fb_futs.items():
                 edits[i] = f.result()
-            fb_pool.shutdown()
         return edits, boundary, overflow
-
-    def _run_round_pallas(self, jobs: list, widths: list):
-        from pangraph_tpu.ops.stripe_pallas import G, stripe_align_pallas
-
-        n = len(jobs)
-        edits = [None] * n
-        boundary = [False] * n
-        groups = {}
-        for i, W in enumerate(widths):
-            j = jobs[i]
-            # pure diagonal band: corner must be inside the band
-            W_eff = max(W, abs(len(j.qry) - len(j.ref) + j.band.mean_shift) + 1)
-            B = _bucket_b(W_eff)
-            C = max(256, B)
-            L = max(len(j.ref), len(j.qry))
-            tier = next((t for t in self.R_TIERS if t >= L + 2), None)
-            if tier is None or B > 1024:
-                edits[i] = self._host_fallback(j)
-                continue
-            groups.setdefault((tier, B, C), []).append(i)
-
-        # phase 1: dispatch every tier batch (async); phase 2: fetch + decode.
-        # Dispatches queue on device, so later batches compute while earlier
-        # results cross the slow D2H link.
-        launched = []
-        for (R_cap, B, C), idxs in groups.items():
-            M = max((self._tier_batch(R_cap, B) // G) * G, G)
-            idxs = sorted(idxs, key=lambda i: -len(jobs[i].ref))
-            for c0 in range(0, len(idxs), M):
-                sub = idxs[c0 : c0 + M]
-                m_pad = ((len(sub) + g_sz - 1) // g_sz) * g_sz
-                Wq = R_cap + C
-                ref_seq = np.zeros((m_pad, R_cap), dtype=np.uint8)
-                qry_seq = np.zeros((m_pad, Wq), dtype=np.uint8)
-                rlen = np.zeros(m_pad, dtype=np.int32)
-                qlen = np.zeros(m_pad, dtype=np.int32)
-                msv = np.zeros(m_pad, dtype=np.int32)
-                Wv = np.full(m_pad, (B - 2) // 2, dtype=np.int32)
-                for s, i in enumerate(sub):
-                    j = jobs[i]
-                    ref_seq[s, : len(j.ref)] = j.ref
-                    qry_seq[s, : len(j.qry)] = j.qry
-                    rlen[s] = len(j.ref)
-                    qlen[s] = len(j.qry)
-                    msv[s] = j.band.mean_shift
-                gmax = rlen.reshape(-1, G).max(axis=1).astype(np.int32)
-                out = stripe_align_pallas(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, C)
-                caps = _predict_caps(
-                    [jobs[i] for i in sub], out["subs"].shape[1], out["dels"].shape[1], out["inss"].shape[1]
-                )
-                packed = _pack_meta_payload(out, *caps)
-                launched.append((sub, out, caps, packed))
-
-        # ONE device_get for the whole round: every batch's meta + payload,
-        # optimistically trimmed. Rows whose true counts exceed the predicted
-        # caps are re-fetched exactly (rare; costs one extra transfer).
-        import jax
-
-        bufs = jax.device_get([p for _, _, _, p in launched])
-        refetch = []  # (list_pos, full-out) needing exact trims
-        decoded = []
-        for (sub, out, caps, _), buf in zip(launched, bufs):
-            d = _unpack_meta_payload(buf, *caps)
-            meta = d["meta"]
-            sk, dk, ik = caps
-            if (
-                meta[:, 0].max(initial=0) > sk
-                or meta[:, 1].max(initial=0) > dk
-                or meta[:, 2].max(initial=0) > ik
-            ):
-                refetch.append((len(decoded), out))
-                decoded.append((sub, None))
-            else:
-                decoded.append((sub, d))
-        if refetch:
-            full_caps = [
-                (out["subs"].shape[1], out["dels"].shape[1], out["inss"].shape[1]) for _, out in refetch
-            ]
-            exact = jax.device_get(
-                [_pack_meta_payload(out, *c) for (_, out), c in zip(refetch, full_caps)]
-            )
-            for (pos, _), buf, c in zip(refetch, exact, full_caps):
-                decoded[pos] = (decoded[pos][0], _unpack_meta_payload(buf, *c))
-        for sub, d in decoded:
-            for s, i in enumerate(sub):
-                j = jobs[i]
-                boundary[i] = bool(d["meta"][s, 4])
-                if d["meta"][s, 5]:  # overflow / dead walk
-                    edits[i] = self._host_fallback(j)
-                    continue
-                edits[i] = _edit_from_lists(d, s, j.qry)
-        return edits, boundary
-
-    def _run_round_fused(self, jobs: list, widths: list):
-        from pangraph_tpu.ops.stripe_fused import stripe_align_fused
-
-        n = len(jobs)
-        edits = [None] * n
-        boundary = [False] * n
-        groups = {}
-        for i, W in enumerate(widths):
-            L = max(len(jobs[i].ref), len(jobs[i].qry))
-            B = _bucket_b(W)
-            tier = next((t for t in self.R_TIERS if t >= L + 1), None)
-            if tier is None:
-                # beyond the largest tier: host fallback
-                edits[i] = self._host_fallback(jobs[i])
-                continue
-            groups.setdefault((tier, B), []).append(i)
-
-        for (R_cap, B), idxs in groups.items():
-            M = self._tier_batch(R_cap, B)
-            idxs = sorted(idxs, key=lambda i: -len(jobs[i].ref))
-            for c0 in range(0, len(idxs), M):
-                sub = idxs[c0 : c0 + M]
-                m = len(sub)
-                ref_seq = np.zeros((M, R_cap), dtype=np.uint8)
-                qry_seq = np.zeros((M, R_cap + B), dtype=np.uint8)
-                ref_mask = np.zeros((M, R_cap), dtype=np.uint8)
-                qry_mask = np.zeros((M, R_cap + B), dtype=np.uint8)
-                rlen = np.zeros(M, dtype=np.int32)
-                qlen = np.zeros(M, dtype=np.int32)
-                msv = np.zeros(M, dtype=np.int32)
-                Wv = np.full(M, (B - 2) // 2, dtype=np.int32)
-                for s, i in enumerate(sub):
-                    j = jobs[i]
-                    ref_seq[s, : len(j.ref)] = j.ref
-                    qry_seq[s, : len(j.qry)] = j.qry
-                    ref_mask[s, : len(j.ref)] = IUPAC_MASK[j.ref]
-                    qry_mask[s, : len(j.qry)] = IUPAC_MASK[j.qry]
-                    rlen[s] = len(j.ref)
-                    qlen[s] = len(j.qry)
-                    msv[s] = j.band.mean_shift
-                out = stripe_align_fused(ref_seq, qry_seq, ref_mask, qry_mask, rlen, qlen, msv, Wv, R_cap, B)
-                out = _fetch_trimmed(out)
-                for s, i in enumerate(sub):
-                    j = jobs[i]
-                    if out["overflow"][s]:
-                        boundary[i] = bool(out["boundary"][s])
-                        edits[i] = self._host_fallback(j)
-                        continue
-                    boundary[i] = bool(out["boundary"][s])
-                    edits[i] = _edit_from_rle(
-                        out["ops"][s], int(out["n_ops"][s]), out["subs"][s], int(out["n_subs"][s]),
-                        int(out["lead_ins"][s]), j.qry,
-                    )
-        return edits, boundary
-
-    def _run_round_chunked(self, jobs: list, widths: list):
-        n = len(jobs)
-        edits = [None] * n
-        boundary = [False] * n
-        # group only by band width: the chunked kernel handles any length
-        groups = {}
-        for i, W in enumerate(widths):
-            groups.setdefault(_bucket_b(W), []).append(i)
-        for B, idxs in groups.items():
-            # sub-batch jobs of similar length to limit frozen-row waste
-            idxs = sorted(idxs, key=lambda i: -len(jobs[i].ref))
-            c0 = 0
-            while c0 < len(idxs):
-                sub = [idxs[c0]]
-                top = len(jobs[idxs[c0]].ref)
-                c0 += 1
-                while (
-                    c0 < len(idxs)
-                    and len(sub) < self.MAX_SUB_BATCH
-                    and len(jobs[idxs[c0]].ref) * 2 >= top
-                ):
-                    sub.append(idxs[c0])
-                    c0 += 1
-                self._run_sub_batch(jobs, sub, B, edits, boundary)
-        return edits, boundary
-
-    def _run_sub_batch(self, jobs, sub, B, edits, boundary):
-        from pangraph_tpu.ops.stripe_tpu import init_carry, stripe_chunk_batch
-
-        C = self.CHUNK_ROWS
-        m = len(sub)
-        rlen = np.array([len(jobs[i].ref) for i in sub], dtype=np.int32)
-        qlen = np.array([len(jobs[i].qry) for i in sub], dtype=np.int32)
-        msv = np.array([jobs[i].band.mean_shift for i in sub], dtype=np.int32)
-        Wv = np.full(m, (B - 2) // 2, dtype=np.int32)
-        ref_masks = [IUPAC_MASK[jobs[i].ref] for i in sub]
-        qry_masks = [IUPAC_MASK[jobs[i].qry] for i in sub]
-        R_max = int(rlen.max())
-        n_chunks = (R_max + C - 1) // C
-
-        carry = init_carry(m, qlen, msv, Wv, B)
-        pending_dev = None  # (device paths, host list slot)
-        paths_chunks = []
-        for c in range(n_chunks):
-            rows_start = 1 + c * C
-            ref_chunk = np.zeros((m, C), dtype=np.uint8)
-            qry_window = np.zeros((m, C + B), dtype=np.uint8)
-            win_off = np.zeros(m, dtype=np.int32)
-            for s in range(m):
-                rm = ref_masks[s]
-                a = rows_start - 1
-                seg = rm[a : a + C]
-                ref_chunk[s, : len(seg)] = seg
-                lo_c0 = band_lo_host(rows_start, int(msv[s]), int(Wv[s]), int(qlen[s]), B)
-                wo = max(lo_c0 - 1, 0)
-                win_off[s] = wo
-                qm = qry_masks[s]
-                wseg = qm[wo : wo + C + B]
-                qry_window[s, : len(wseg)] = wseg
-            carry_and_paths = stripe_chunk_batch(
-                *carry, ref_chunk, qry_window, win_off, rows_start, rlen, qlen, msv, Wv, C, B
-            )
-            carry, paths_c = carry_and_paths
-            if pending_dev is not None:
-                paths_chunks.append(np.asarray(pending_dev))
-            pending_dev = paths_c
-        if pending_dev is not None:
-            paths_chunks.append(np.asarray(pending_dev))
-        paths = np.concatenate(paths_chunks, axis=1) if paths_chunks else np.zeros((m, 0, B), dtype=np.int8)
-
-        for s, i in enumerate(sub):
-            j = jobs[i]
-            e, hb = backtrace_band(paths[s], j.ref, j.qry, int(msv[s]), int(Wv[s]), B)
-            if e is None:
-                boundary[i] = True
-                edits[i] = self._host_fallback(j)
-            else:
-                boundary[i] = hb
-                edits[i] = e
 
     def _mem_acquire(self, nbytes: int) -> None:
         """Bound total outstanding paths bytes across threads (the parallel

@@ -873,15 +873,20 @@ def walk_ckpt(ckpt, ref_mask, qsh_pad, rlen, qlen, ms, W,
 
 def ckpt_layout(B: int, g_w: int = 8):
     """(window_rows, n_query_blocks) for the checkpoint walk: the re-derived
-    record window [g_w, WV, B+DP_C] int16 must fit in ~4 MB VMEM; WV is a
-    power of two x 128 (so it divides every R_cap tier) and n_qb WV-blocks
-    of the padded query cover any chunk's B+DP_C window. The walk group is
-    fixed at 8 (Mosaic block-shape constraint: sublane dim % 8)."""
+    record window [g_w, WV, B+DP_C] int16 must fit in an 8 MB VMEM budget; WV
+    is a power of two x 128 (so it divides every R_cap tier) and n_qb
+    WV-blocks of the padded query cover any chunk's B+DP_C window. The walk
+    group is fixed at 8 (Mosaic block-shape constraint: sublane dim % 8).
+    Raises ValueError when even the minimum window (WV=DP_C) exceeds the
+    budget — callers must route such bands to the host aligner."""
     C = DP_C
     WN = B + C
+    budget = 8 * 1024 * 1024
     wv = 2048
-    while wv > C and g_w * wv * WN * 2 > 8 * 1024 * 1024:
+    while wv > C and g_w * wv * WN * 2 > budget:
         wv //= 2
+    if g_w * wv * WN * 2 > budget:
+        raise ValueError(f"ckpt walk window for B={B} exceeds VMEM budget even at WV={wv}")
     n_qb = 1 + -(-B // wv)  # ceil
     return wv, n_qb
 

@@ -91,6 +91,44 @@ def test_stripe_native_batch_boundary_flags():
     assert int(out["status"][0]) == 1 or bool(out["boundary"][0])
 
 
+def test_stripe_scalar_and_vector_paths_agree():
+    """The AVX-512 and scalar row loops are independent implementations of
+    the same recurrence, selected at compile time — run BOTH builds on the
+    same jobs and require identical outputs, so a divergence in whichever
+    variant the build machine doesn't default to can't ship silently."""
+    from pangraph_tpu.native import get_scalar_lib
+
+    scalar = get_scalar_lib()
+    assert scalar is not None, "scalar build failed where the default build succeeded"
+    rng = np.random.default_rng(202)
+    p = BandedAlignParams()
+    refs, qrys, mss, Ws = [], [], [], []
+    for trial in range(40):
+        L = int(rng.integers(10, 2000))
+        ref = ACGT[rng.integers(0, 4, L)]
+        if trial % 6 == 0:
+            ii = rng.choice(L, max(1, L // 50), replace=False)
+            ref[ii] = ord("N")
+        refs.append(ref)
+        qrys.append(_mutate(ref, int(L * 0.04), max(1, L // 200), rng))
+        mss.append(int(rng.integers(-10, 10)))
+        Ws.append(int(rng.integers(2, 60)))
+    ms = np.array(mss)
+    W = np.array(Ws)
+    a = stripe_align_batch_native(refs, qrys, ms, W, p, IUPAC_MASK)
+    b = stripe_align_batch_native(refs, qrys, ms, W, p, IUPAC_MASK, lib=scalar)
+    assert np.array_equal(a["status"], b["status"])
+    assert np.array_equal(a["boundary"], b["boundary"])
+    assert np.array_equal(a["n_ops"], b["n_ops"])
+    assert np.array_equal(a["n_subs"], b["n_subs"])
+    assert np.array_equal(a["lead_ins"], b["lead_ins"])
+    for s in range(len(refs)):
+        if int(a["status"][s]) == 0:
+            no, ns = int(a["n_ops"][s]), int(a["n_subs"][s])
+            assert np.array_equal(a["ops"][s, :no], b["ops"][s, :no]), s
+            assert np.array_equal(a["subs"][s, :ns], b["subs"][s, :ns]), s
+
+
 def test_sketch_native_matches_numpy():
     rng = np.random.default_rng(11)
     ACGTN = np.frombuffer(b"ACGTN", np.uint8)
