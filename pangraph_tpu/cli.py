@@ -52,6 +52,13 @@ def build_parser():
         help="Claim merges via the checkpoint dir so multiple workers (hosts) can share one build",
     )
     b.add_argument("--no-tpu", action="store_true", help="Run alignment kernels on host instead of TPU")
+    b.add_argument(
+        "--devices",
+        type=int,
+        default=None,
+        help="Shard alignment batches over this many accelerator chips "
+        "(default: all available; 1 disables the mesh)",
+    )
     b.add_argument("--trace", action="store_true", help="Log per-phase wall-time breakdown at the end")
     b.add_argument("--no-progress-bar", action="store_true")
     b.add_argument("--upper-case", action="store_true", help="Uppercase input sequences (always on)")
@@ -212,7 +219,7 @@ def _cmd_build(args) -> int:
         try:
             import jax
 
-            jax.devices()  # probe: backend claim can fail transiently (tunnel)
+            n_avail = len(jax.devices())  # probe: backend claim can fail transiently (tunnel)
         except Exception as e:
             import logging
 
@@ -222,8 +229,22 @@ def _cmd_build(args) -> int:
         else:
             from pangraph_tpu.ops.batch_align import TpuBatchAligner
 
+            # multi-chip: shard every alignment batch over a 'jobs' device
+            # mesh (the TPU analog of wiring the rayon pool into the entry
+            # point, commands/main.rs:16). --devices 1 disables the mesh.
+            n_dev = args.devices if args.devices is not None else n_avail
+            if n_dev > n_avail:
+                raise ValueError(f"--devices {n_dev}: only {n_avail} accelerator device(s) available")
+            mesh = None
+            if n_dev > 1:
+                from pangraph_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(n_dev)
             aligner = TpuBatchAligner(
-                build_args.banded_params, build_args.extra_band_width, build_args.max_alignment_attempts
+                build_args.banded_params,
+                build_args.extra_band_width,
+                build_args.max_alignment_attempts,
+                mesh=mesh,
             )
     if args.trace:
         from pangraph_tpu.utils import trace

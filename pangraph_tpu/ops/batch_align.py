@@ -399,7 +399,7 @@ class TpuBatchAligner:
         for (R_cap, B), idxs in groups.items():
             per_problem = R_cap * (B + 128) * 2  # int16 paths bytes
             ck = None
-            if per_problem > self.CKPT_PATHS_BYTES and self.mesh is None:
+            if per_problem > self.CKPT_PATHS_BYTES:
                 # Mbp-scale tier: checkpointed DP + window re-derive walk —
                 # HBM holds window-start carries instead of full path records
                 try:
@@ -511,7 +511,9 @@ class TpuBatchAligner:
                     gmax = rlen.reshape(-1, g_sz).max(axis=1).astype(np.int32)
                 with trace.span("align.dispatch"):
                     if self.mesh is not None:
-                        out = self._sharded_align(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K)
+                        out = self._sharded_align(
+                            ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap, B, K, g_sz, ck
+                        )
                     elif ck is not None:
                         S_w, n_qb = ck
                         out = stripe_align_v2_ckpt(
@@ -568,25 +570,37 @@ class TpuBatchAligner:
             self._mem_outstanding -= nbytes
             self._mem_lock.notify_all()
 
-    def _sharded_align(self, ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap: int, B: int, K: int):
+    def _sharded_align(
+        self, ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax, R_cap: int, B: int, K: int,
+        g_sz: int = None, ck=None,
+    ):
         """Run one bucket batch sharded over the mesh's 'jobs' axis: each
         device executes the Pallas stripe kernel on its shard (m_pad is
-        padded to a multiple of G * n_devices)."""
+        padded to a multiple of g_sz * n_devices). With ck=(S_w, n_qb) the
+        per-shard kernel is the checkpointed DP + window re-derive walk."""
         import functools
 
         import jax
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        from pangraph_tpu.ops.stripe_v2 import stripe_align_v2
+        from pangraph_tpu.ops.stripe_v2 import G, stripe_align_v2, stripe_align_v2_ckpt
 
-        key = (R_cap, B, K, ref_seq.shape[0])
+        g_sz = g_sz or G
+        key = (R_cap, B, K, ref_seq.shape[0], g_sz, ck)
         fn = self._sharded_cache.get(key)
         if fn is None:
+            if ck is not None:
+                S_w, n_qb = ck
+                kernel = functools.partial(
+                    stripe_align_v2_ckpt, R_cap=R_cap, B=B, K=K, S=S_w, n_qb=n_qb, g_size=g_sz
+                )
+            else:
+                kernel = functools.partial(stripe_align_v2, R_cap=R_cap, B=B, K=K, g_size=g_sz)
             jobs_p = P("jobs")
             fn = jax.jit(
                 shard_map(
-                    functools.partial(stripe_align_v2, R_cap=R_cap, B=B, K=K),
+                    kernel,
                     mesh=self.mesh,
                     in_specs=(jobs_p,) * 7,
                     out_specs={"rows": jobs_p, "words": jobs_p, "n_events": jobs_p, "meta": jobs_p},
