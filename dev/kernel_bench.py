@@ -71,7 +71,7 @@ def bench_native_sketch(rng):
         print(f"native sketch  L={L} (k={k},w={w}): {dt*1e3:6.1f} ms  {L/dt/1e6:6.0f} Mbp/s  ({len(vals)} minimizers)")
 
 
-def _kernel_batch(rng, m, R_cap, B, L, div=0.02):
+def _kernel_batch(rng, m, R_cap, B, L, div=0.02, g=8):
     ref_seq = np.zeros((m, R_cap), np.uint8)
     qry_seq = np.zeros((m, R_cap + B), np.uint8)
     rlen = np.full(m, L, np.int32)
@@ -82,7 +82,7 @@ def _kernel_batch(rng, m, R_cap, B, L, div=0.02):
     for s in range(m):
         ref_seq[s, :L] = refs[s]
         qry_seq[s, :L] = qrys[s]
-    gmax = rlen.reshape(-1, 8).max(axis=1).astype(np.int32)
+    gmax = rlen.reshape(-1, g).max(axis=1).astype(np.int32)
     return ref_seq, qry_seq, rlen, qlen, ms, W, gmax
 
 
@@ -91,16 +91,19 @@ def bench_v2(rng):
 
     from pangraph_tpu.ops.stripe_v2 import stripe_align_v2
 
-    for m, R_cap, B, L in [(16, 16384, 128, 15000), (8, 131072, 128, 120000)]:
-        args = _kernel_batch(rng, m, R_cap, B, L)
-        out = stripe_align_v2(*args, R_cap, B, 1024, 8)
-        jax.block_until_ready(out["meta"])
+    # timing: block_until_ready through the device tunnel does not actually
+    # block (results are futures served ~one call behind), so every sample
+    # must force a host materialization and rates are total/N over N calls
+    N = 4
+    for m, g, R_cap, B, L in [(16, 16, 16384, 128, 15000), (64, 64, 131072, 128, 120000), (8, 8, 131072, 2048, 120000)]:
+        args = _kernel_batch(rng, m, R_cap, B, L, g=g)
+        np.asarray(stripe_align_v2(*args, R_cap, B, 1024, g)["n_events"])
         t = time.time()
-        out = stripe_align_v2(*args, R_cap, B, 1024, 8)
-        jax.block_until_ready(out["meta"])
-        dt = time.time() - t
+        for _ in range(N):
+            np.asarray(stripe_align_v2(*args, R_cap, B, 1024, g)["n_events"])
+        dt = (time.time() - t) / N
         cells = m * L * B
-        print(f"v2 kernel      m={m:3d} L={L:6d} B={B}: {dt*1e3:7.1f} ms  {cells/dt/1e9:5.2f} Gcells/s")
+        print(f"v2 kernel      m={m:3d} g={g} L={L:6d} B={B}: {dt*1e3:7.1f} ms  {cells/dt/1e9:5.2f} Gcells/s")
 
 
 def bench_ckpt(rng):
@@ -108,18 +111,18 @@ def bench_ckpt(rng):
 
     from pangraph_tpu.ops.stripe_v2 import DP_C, ckpt_layout, stripe_align_v2_ckpt
 
-    for m, R_cap, B, L in [(8, 2097152, 128, 2_000_000)]:
+    N = 2
+    for m, g, R_cap, B, L in [(32, 32, 2097152, 128, 2_000_000), (32, 32, 2097152, 512, 2_000_000), (8, 8, 2097152, 2048, 2_000_000)]:
         WV, n_qb = ckpt_layout(B)
         S = WV // DP_C
-        args = _kernel_batch(rng, m, R_cap, B, L, div=0.005)
-        out = stripe_align_v2_ckpt(*args, R_cap, B, 2048, S, n_qb, 8)
-        jax.block_until_ready(out["meta"])
+        args = _kernel_batch(rng, m, R_cap, B, L, div=0.005, g=g)
+        np.asarray(stripe_align_v2_ckpt(*args, R_cap, B, 2048, S, n_qb, g)["n_events"])
         t = time.time()
-        out = stripe_align_v2_ckpt(*args, R_cap, B, 2048, S, n_qb, 8)
-        jax.block_until_ready(out["meta"])
-        dt = time.time() - t
+        for _ in range(N):
+            np.asarray(stripe_align_v2_ckpt(*args, R_cap, B, 2048, S, n_qb, g)["n_events"])
+        dt = (time.time() - t) / N
         cells = m * L * B
-        print(f"ckpt kernel    m={m:3d} L={L:7d} B={B}: {dt*1e3:7.1f} ms  {cells/dt/1e9:5.2f} Gcells/s")
+        print(f"ckpt kernel    m={m:3d} g={g} L={L:7d} B={B}: {dt*1e3:7.1f} ms  {cells/dt/1e9:5.2f} Gcells/s")
 
 
 def main():

@@ -44,6 +44,11 @@ class MapperParams:
     extend_flank: int = 0  # extra bases beyond anchor span
     band_extra: int = 16  # band margin around anchor diagonal spread
     diag_break: int = 5_000  # cut chains at diagonal jumps >= this
+    # hit post-processing (minimap2 hit.c defaults; see align/hits.py)
+    mask_level: float = 0.5  # query-overlap fraction grouping hits (mm_set_parent)
+    pri_ratio: float = 0.8  # secondaries below this fraction of primary are dropped
+    best_n: int = 5  # max secondaries kept per primary (mm_select_sub)
+    sdust_thres: int = 0  # DUST mask threshold; 0 = off (minimap2 default)
 
     @staticmethod
     def from_sensitivity(sensitivity: int, indel_len_threshold: int, kmer_length=None) -> "MapperParams":
@@ -78,10 +83,16 @@ def build_index(seqs: list, names: list, p: MapperParams) -> MinimizerIndex:
         s = as_seq(s)
         lengths[i] = len(s)
         mm: Minimizers = sketch(s, p.k, p.w)
-        vals.append(mm.values)
-        sids.append(np.full(len(mm.values), i, dtype=np.int32))
-        poss.append(mm.positions)
-        strs.append(mm.strands)
+        vv, pp, ss = mm.values, mm.positions, mm.strands
+        if p.sdust_thres > 0:
+            from pangraph_tpu.align.hits import dust_mask, filter_minimizers_by_mask
+
+            keep = filter_minimizers_by_mask(pp, p.k, dust_mask(s, p.sdust_thres))
+            vv, pp, ss = vv[keep], pp[keep], ss[keep]
+        vals.append(vv)
+        sids.append(np.full(len(vv), i, dtype=np.int32))
+        poss.append(pp)
+        strs.append(ss)
     values = np.concatenate(vals) if vals else np.zeros(0, dtype=U64)
     seq_ids = np.concatenate(sids) if sids else np.zeros(0, dtype=np.int32)
     positions = np.concatenate(poss) if poss else np.zeros(0, dtype=np.int64)
@@ -352,6 +363,11 @@ def map_all_vs_all(
         qseq = seqs[qi]
         with trace.span("mapper.sketch"):
             qmm = sketch(qseq, p.k, p.w)
+            if p.sdust_thres > 0:
+                from pangraph_tpu.align.hits import dust_mask, filter_minimizers_by_mask
+
+                keep = filter_minimizers_by_mask(qmm.positions, p.k, dust_mask(qseq, p.sdust_thres))
+                qmm = Minimizers(qmm.values[keep], qmm.positions[keep], qmm.strands[keep])
         with trace.span("mapper.anchors"):
             rid, rpos, qpos, rel = collect_anchors(index, qmm, qi)
             # -X: drop self hits and dual pairs (keep rid < qi only)
@@ -398,4 +414,9 @@ def map_all_vs_all(
     out = []
     for job, edit in zip(jobs, edits):
         out.extend(_finish_chain_alignment(job, edit))
-    return out
+    # primary/secondary resolution + mapq (hit.c semantics; drops the
+    # near-duplicate candidates repetitive genomes otherwise flood the
+    # energy filter with)
+    from pangraph_tpu.align.hits import select_hits
+
+    return select_hits(out, p.mask_level, p.pri_ratio, p.best_n)

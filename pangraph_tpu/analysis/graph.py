@@ -27,9 +27,9 @@ class AnalysisGraph:
 
             import jsonschema
 
-            from pangraph_tpu.commands import GRAPH_JSON_SCHEMA
+            from pangraph_tpu.schema import generate_schema
 
-            jsonschema.validate(g.to_json_dict(), GRAPH_JSON_SCHEMA)
+            jsonschema.validate(g.to_json_dict(), generate_schema())
         return AnalysisGraph(g)
 
     # --------------------------------------------------------------- accessors

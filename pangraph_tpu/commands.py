@@ -114,105 +114,14 @@ def reconstruct_to_fasta(graph: Pangraph, output) -> None:
     write_fasta(output, recs)
 
 
-GRAPH_JSON_SCHEMA = {
-    "$schema": "http://json-schema.org/draft-07/schema#",
-    "title": "Pangraph",
-    "type": "object",
-    "required": ["paths", "blocks", "nodes"],
-    "properties": {
-        "paths": {
-            "type": "object",
-            "additionalProperties": {
-                "type": "object",
-                "required": ["id", "nodes", "tot_len", "circular"],
-                "properties": {
-                    "id": {"type": "integer", "minimum": 0},
-                    "nodes": {"type": "array", "items": {"type": "integer", "minimum": 0}},
-                    "tot_len": {"type": "integer", "minimum": 0},
-                    "circular": {"type": "boolean"},
-                    "name": {"type": ["string", "null"]},
-                    "desc": {"type": ["string", "null"]},
-                },
-            },
-        },
-        "blocks": {
-            "type": "object",
-            "additionalProperties": {
-                "type": "object",
-                "required": ["id", "consensus", "alignments"],
-                "properties": {
-                    "id": {"type": "integer", "minimum": 0},
-                    "consensus": {"type": "string"},
-                    "alignments": {
-                        "type": "object",
-                        "additionalProperties": {
-                            "type": "object",
-                            "required": ["subs", "dels", "inss"],
-                            "properties": {
-                                "subs": {
-                                    "type": "array",
-                                    "items": {
-                                        "type": "object",
-                                        "required": ["pos", "alt"],
-                                        "properties": {
-                                            "pos": {"type": "integer", "minimum": 0},
-                                            "alt": {"type": "string", "minLength": 1, "maxLength": 1},
-                                        },
-                                    },
-                                },
-                                "dels": {
-                                    "type": "array",
-                                    "items": {
-                                        "type": "object",
-                                        "required": ["pos", "len"],
-                                        "properties": {
-                                            "pos": {"type": "integer", "minimum": 0},
-                                            "len": {"type": "integer", "minimum": 0},
-                                        },
-                                    },
-                                },
-                                "inss": {
-                                    "type": "array",
-                                    "items": {
-                                        "type": "object",
-                                        "required": ["pos", "seq"],
-                                        "properties": {
-                                            "pos": {"type": "integer", "minimum": 0},
-                                            "seq": {"type": "string"},
-                                        },
-                                    },
-                                },
-                            },
-                        },
-                    },
-                },
-            },
-        },
-        "nodes": {
-            "type": "object",
-            "additionalProperties": {
-                "type": "object",
-                "required": ["id", "block_id", "path_id", "strand", "position"],
-                "properties": {
-                    "id": {"type": "integer", "minimum": 0},
-                    "block_id": {"type": "integer", "minimum": 0},
-                    "path_id": {"type": "integer", "minimum": 0},
-                    "strand": {"type": "string", "enum": ["+", "-"]},
-                    "position": {
-                        "type": "array",
-                        "items": {"type": "integer", "minimum": 0},
-                        "minItems": 2,
-                        "maxItems": 2,
-                    },
-                },
-            },
-        },
-    },
-}
+def _graph_json_schema() -> dict:
+    from pangraph_tpu.schema import generate_schema
+
+    return generate_schema()
 
 
 def export_schema(output=None) -> str:
-    text = json.dumps(GRAPH_JSON_SCHEMA, indent=2) + "\n"
+    text = json.dumps(_graph_json_schema(), indent=2) + "\n"
     if output is not None:
         from pangraph_tpu.io.files import create_maybe_compressed
 

@@ -169,17 +169,19 @@ class TpuBatchAligner:
     R_TIERS = (4096, 16384, 65536, 131072, 262144, 524288, 1048576, 2097152, 4194304)
     V2_BYTES = 2 * 1024 * 1024 * 1024  # per-batch paths-buffer budget (v2 kernel)
     # paths bytes/problem beyond which the checkpointed DP + window re-derive
-    # walk is used (HBM holds carries, ~100x smaller; kernel-parity tested,
-    # tests/test_stripe_ckpt.py). Disabled by default on this hardware: the
-    # regime it serves (paths > HBM/2 per minimum group) is exactly where
-    # band-doubling retries matter, and the kernel clamp at MAX_B produces
-    # boundary-capped edits where the host fallback widens further — the
-    # poorer edits measurably degrade the downstream merge trajectory
-    # (chromosome-scale build 50 s -> 197 s). Enable on hardware where
-    # device time is cheap relative to host: PANGRAPH_TPU_CKPT_BYTES=7e8.
-    CKPT_PATHS_BYTES = int(float(os.environ.get("PANGRAPH_TPU_CKPT_BYTES", 1 << 62)))
+    # walk is used (HBM holds carries, ~20-100x smaller; kernel-parity tested,
+    # tests/test_stripe_ckpt.py). ON by default since MAX_B covers the full
+    # band-doubling ladder for chromosome-scale refs: at L=2.5 Mbp the host's
+    # own widen cap (NATIVE_WIDEN_AREA / L) is ~W=1000, inside the kernel's
+    # W=1023 — the round-1 regression (band-capped edits at W=511 degrading
+    # the merge trajectory, 50 s -> 197 s) no longer applies.
+    CKPT_PATHS_BYTES = int(float(os.environ.get("PANGRAPH_TPU_CKPT_BYTES", 7e8)))
     HBM_BUDGET = 10 * 1024 * 1024 * 1024  # total outstanding paths bytes across threads
-    MAX_B = 1024  # widest kernel band bucket (bands beyond this are clamped)
+    # widest kernel band bucket (bands beyond this are clamped to the bucket
+    # and routed host-ward when the widen gate allows): B=2048 = W<=1023,
+    # validated on v5e (DP VMEM out block 8x128x2176 int16 double-buffered
+    # = 8.9 MB; ckpt walk window 8x128x2176 int16 = 4.5 MB)
+    MAX_B = 2048
 
     # adaptive host/device dispatch: the device link costs ~30-50 ms latency
     # per round (axon tunnel), while the native C++ aligner does ~0.5 Gcells/s
@@ -363,7 +365,7 @@ class TpuBatchAligner:
         One device_get moves every batch's packed results (meta + event
         rows/words) across the D2H link; decode is host-side RLE + vectorized
         sub extraction (ops/stripe_v2.py)."""
-        from pangraph_tpu.ops.stripe_v2 import G, ckpt_layout
+        from pangraph_tpu.ops.stripe_v2 import ckpt_layout
 
         n = len(jobs)
         edits = [None] * n
@@ -410,14 +412,27 @@ class TpuBatchAligner:
                     continue
                 ck = (WV // 128, n_qb)
                 per_problem = (R_cap // WV) * 3 * (B + 128) * 4
-            g_sz = G
+            # the DP is LATENCY-bound per row (a serial ~30-op dependency
+            # chain costs ~1 us regardless of band width), so larger groups
+            # amortize it across more VREG rows: g=64 is ~3x the row rate of
+            # g=8 at B=128 (measured on v5e). Start wide but never beyond the
+            # actual batch (padding problems share the group's row count, so
+            # a 6-job round in a g=64 group would compute 10x waste rows);
+            # the HBM and VMEM guards trim further.
+            g_sz = 8
+            while g_sz < 64 and g_sz * 2 <= len(idxs):
+                g_sz *= 2
             while g_sz > 8 and g_sz * per_problem > self.V2_BYTES:
                 g_sz //= 2  # floor at one sublane tile: sub-tile kernels hang Mosaic
             # VMEM: the DP out block is (g, 128, B+128) int16, double-buffered;
             # keep g*(B+128) under ~24k lanes or wide bands blow the 16 MB limit
             while g_sz > 8 and g_sz * (B + 128) > 24576:
                 g_sz //= 2
-            if g_sz * per_problem > self.HBM_BUDGET // 2:
+            # a single round may hold the whole budget alone (_mem_acquire
+            # serializes larger-than-half grants); only reject groups that
+            # cannot fit even then
+            hbm_cap = self.HBM_BUDGET if ck is not None else self.HBM_BUDGET // 2
+            if g_sz * per_problem > hbm_cap:
                 # Mbp-scale tier with a very wide band: even a minimum-size
                 # group would dominate HBM — keep these off the device
                 fallback_idx.extend(idxs)

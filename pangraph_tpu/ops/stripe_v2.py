@@ -166,9 +166,13 @@ def _chunk_compute(c, qm, ref_val, carry, rec_sink, *, C: int, B: int, G_: int,
         H = jnp.where(in_matrix, H, NO_ALIGN)
         path = jnp.where(in_matrix, path, 0)
 
+        # the carry run is UNCAPPED (int32): the ckpt walk refreshes walker
+        # jump budgets from window-start carries, so a multi-Mbp diagonal
+        # run can be crossed without re-deriving any window. Only the int16
+        # record caps at RUN_CAP.
         is_m = (path & MATCH) > 0
-        run = jnp.where(is_m & in_matrix, jnp.minimum(run_d + 1, RUN_CAP), 0)
-        rec32 = path | (run << 6)
+        run = jnp.where(is_m & in_matrix, run_d + 1, 0)
+        rec32 = path | (jnp.minimum(run, RUN_CAP) << 6)
 
         live = i <= rlen_v
         H_out = jnp.where(live, H, H_prev)
@@ -440,6 +444,9 @@ def stripe_dp_ckpt(ref_mask, qsh_mask, rlen, qlen, ms, W, gmax, R_cap: int, B: i
 
 # extra walk-state SMEM slots (beyond S_I..S_BND)
 S_DEL, S_IA, S_CNT = 6, 7, 8
+# remaining diagonal-run length carried across walk windows (ckpt walk):
+# lets a walker cross whole windows without re-deriving their records
+S_RUN = 9
 
 
 def _walk_kernel(
@@ -477,9 +484,13 @@ def _walk_kernel(
 
     msv = ms_ref[g]
     Wv = W_ref[g]
-    # int16 path records: slabs are 16 sublanes (the int16 tile height)
-    sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, WN), 0)
-    laneW = jax.lax.broadcasted_iota(jnp.int32, (16, WN), 1)
+    # int16 path records: slabs are 16 sublanes (the int16 tile height); the
+    # lane dim is sliced to the 128-aligned block holding the walker's lane,
+    # so per-iteration element work is O(16x128) instead of O(16 x WN) —
+    # at wide bands the walk is otherwise iteration-bound (WN=2176 reduces
+    # cost ~17x more than necessary per step)
+    sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
 
     def cond(carry):
         i, q, st, ins, dl, ia, cnt, dead, bnd = carry
@@ -494,8 +505,10 @@ def _walk_kernel(
         j = i - 1 - c0_dp
         in_band = (l >= j) & (l < j + B) & (l >= 0) & (l < WN)
         slab_at = pl.multiple_of((li >> 4) << 4, 16)
-        slab = paths_ref[0, pl.ds(slab_at, 16), :].astype(jnp.int32)  # [16, WN]
-        word = jnp.sum(jnp.where((sub16 == (li & 15)) & (laneW == l), slab, 0))
+        lc = jnp.clip(l, 0, WN - 1)
+        lane_blk = pl.multiple_of(jnp.minimum((lc >> 7) << 7, WN - 128), 128)
+        slab = paths_ref[0, pl.ds(slab_at, 16), pl.ds(lane_blk, 128)].astype(jnp.int32)  # [16, 128]
+        word = jnp.sum(jnp.where((sub16 == (li & 15)) & (lane128 == lc - lane_blk), slab, 0))
         # sign-extended int16 record -> unsigned 16-bit word
         word = jnp.where(in_band, word, 0) & 0xFFFF
         bits = word & 63
@@ -629,6 +642,7 @@ def walk_v2(paths, rlen, qlen, ms, W, R_cap: int, B: int, K: int):
 def _walk_ckpt_kernel(
     rlen_ref, qlen_ref, ms_ref, W_ref, gmax_ref,  # SMEM [n_groups, G_] / [n_groups, 1]
     ckpt_ref,            # [G_, 1, 3, WN] int32: window-start carries
+    ckpt_next_ref,       # [G_, 1, 3, WN] int32: NEXT window's start carry (= this window's end)
     ref_win_ref,         # [G_, WV] int32 ref masks for this window's rows
     *rest,               # n_qb query-mask blocks [G_, WV] u8, 4 outs, 2 scratch
     C: int, B: int, G_: int, S: int, K: int, n_windows: int, n_qb: int,
@@ -672,10 +686,61 @@ def _walk_ckpt_kernel(
             st_ref[p, S_DEL] = 0
             st_ref[p, S_IA] = 0
             st_ref[p, S_CNT] = 0
+            st_ref[p, S_RUN] = 0
 
     group_max = gmax_ref[g, 0]
 
-    @pl.when(c0_rows < group_max)
+    # window skip: a walker whose carried diagonal run (S_RUN) covers all
+    # its rows in this window can cross it without reading a single record.
+    # Run counters count consecutive diagonal moves (substitutions included;
+    # only indels break them), so at ~1% divergence nearly every window is
+    # all-diagonal for every walker and the whole re-derive pass is skipped
+    # — this is what makes the wide-band (B=2048) checkpoint walk viable:
+    # without it the walk is bound by windows x rows, not by events.
+    #
+    # Jump-budget refresh: a skipping walker always sits exactly on a window
+    # boundary (jumps cap at c0_rows), i.e. on the row whose carry the NEXT
+    # window's checkpoint stores. That carry's run plane is UNCAPPED int32,
+    # so reading it at the walker's lane extends the skip horizon across an
+    # entire inter-indel diagonal run (Mbp-scale) — int16 records cap runs
+    # at RUN_CAP=1023, which would otherwise force a re-derive every
+    # RUN_CAP/WV windows and desynchronize the group.
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, WN), 1)
+    for p in range(G_):
+        i_p = st_ref[p, S_I]
+        at_boundary = (
+            (st_ref[p, S_DEAD] == 0)
+            & (i_p == c0_rows + S * C)
+            & (st_ref[p, S_STATE] == 0)
+            & (st_ref[p, S_RUN] < i_p - c0_rows)
+            & (w < n_windows - 1)  # row R_cap has no saved carry
+        )
+
+        @pl.when(at_boundary & (i_p > 0))
+        def _refresh(p=p, i_p=i_p):
+            lp = st_ref[p, S_Q] + ms_ref[g, p] + W_ref[g, p] - i_p - 1
+            run_c = jnp.sum(jnp.where(lane_row == lp, ckpt_next_ref[p, 0, 2:3, :], 0))
+            st_ref[p, S_RUN] = jnp.maximum(st_ref[p, S_RUN], run_c)
+
+    need_window = jnp.int32(0)
+    for p in range(G_):
+        i_p = st_ref[p, S_I]
+        cnt_p = i_p - c0_rows
+        live = (st_ref[p, S_DEAD] == 0) & (cnt_p > 0)
+        need_window = need_window | (live & (st_ref[p, S_RUN] < cnt_p)).astype(jnp.int32)
+
+    @pl.when((need_window == 0) & (c0_rows < group_max))
+    def _skip_window():
+        for p in range(G_):
+            i_p = st_ref[p, S_I]
+            cnt_p = i_p - c0_rows
+            live = (st_ref[p, S_DEAD] == 0) & (cnt_p > 0)
+            jump = jnp.where(live, cnt_p, 0)
+            st_ref[p, S_I] = i_p - jump
+            st_ref[p, S_Q] = st_ref[p, S_Q] - jump
+            st_ref[p, S_RUN] = st_ref[p, S_RUN] - jump
+
+    @pl.when((need_window > 0) & (c0_rows < group_max))
     def _rederive():
         qsh_cat = jnp.concatenate([r[:] for r in qsh_refs], axis=1).astype(jnp.int32)
         ref_win = ref_win_ref[:]
@@ -706,27 +771,30 @@ def _walk_ckpt_kernel(
             (ckpt_ref[:, 0, 0, :], ckpt_ref[:, 0, 1, :], ckpt_ref[:, 0, 2, :]),
         )
 
-    sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, WN), 0)
-    laneW = jax.lax.broadcasted_iota(jnp.int32, (16, WN), 1)
+    sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
 
     def walk_problem(p, _):
         msv = ms_ref[g, p]
         Wv = W_ref[g, p]
 
         def cond(carry):
-            i, q, st, ins, dl, ia, cnt, dead, bnd = carry
+            i, q, st, ins, dl, ia, cnt, dead, bnd, rr = carry
             return (i > c0_rows) & (dead == 0)
 
         def body(carry):
-            i, q, st, ins, dl, ia, cnt, dead, bnd = carry
+            i, q, st, ins, dl, ia, cnt, dead, bnd, rr = carry
             li = i - 1 - c0_rows
             c0_dp = (i - 1) & ~(C - 1)
             l = q + msv + Wv - c0_dp - 1
             j = i - 1 - c0_dp
             in_band = (l >= j) & (l < j + B) & (l >= 0) & (l < WN)
             slab_at = pl.multiple_of((li >> 4) << 4, 16)
-            slab = recs_ref[p, pl.ds(slab_at, 16), :].astype(jnp.int32)
-            word = jnp.sum(jnp.where((sub16 == (li & 15)) & (laneW == l), slab, 0))
+            # narrow [16, 128] lane block around the walker (see _walk_kernel)
+            lc = jnp.clip(l, 0, WN - 1)
+            lane_blk = pl.multiple_of(jnp.minimum((lc >> 7) << 7, WN - 128), 128)
+            slab = recs_ref[p, pl.ds(slab_at, 16), pl.ds(lane_blk, 128)].astype(jnp.int32)
+            word = jnp.sum(jnp.where((sub16 == (li & 15)) & (lane128 == lc - lane_blk), slab, 0))
             word = jnp.where(in_band, word, 0) & 0xFFFF
             bits = word & 63
             runv = word >> 6
@@ -761,28 +829,28 @@ def _walk_ckpt_kernel(
                 jnp.where(take_d, jnp.where((bits & QRY_GAP_EXTEND) > 0, QRY_GAP_MATRIX, 0), st),
             )
             L = jnp.where(take_m, jnp.minimum(jnp.maximum(runv, 1), i - c0_rows), 0)
+            # remaining run past the window edge: consumed without record
+            # reads by later windows' skip logic
+            rr = jnp.where(live & take_m, jnp.maximum(runv, 1) - L, 0)
             di = jnp.where(take_m, L, jnp.where(take_d, 1, 0))
             dq = jnp.where(take_m, L, jnp.where(take_i, 1, 0))
             i = jnp.where(live, i - di, i)
             q = jnp.where(live, q - dq, q)
             ins = jnp.where(live, jnp.where(take_i, ins + 1, jnp.where(take_m | take_d, 0, ins)), ins)
             st = jnp.where(live, new_st, st)
-            return i, q, st, ins, new_dl, new_ia, cnt, new_dead, bnd
+            return i, q, st, ins, new_dl, new_ia, cnt, new_dead, bnd, rr
 
+        i0 = st_ref[p, S_I]
+        rr0 = st_ref[p, S_RUN]
+        dead0 = st_ref[p, S_DEAD]
+        # consume the carried diagonal run before any record read
+        jump = jnp.where(dead0 == 0, jnp.minimum(rr0, jnp.maximum(i0 - c0_rows, 0)), 0)
         carry0 = (
-            st_ref[p, S_I], st_ref[p, S_Q], st_ref[p, S_STATE], st_ref[p, S_INS],
-            st_ref[p, S_DEL], st_ref[p, S_IA], st_ref[p, S_CNT], st_ref[p, S_DEAD], st_ref[p, S_BND],
+            i0 - jump, st_ref[p, S_Q] - jump, st_ref[p, S_STATE], st_ref[p, S_INS],
+            st_ref[p, S_DEL], st_ref[p, S_IA], st_ref[p, S_CNT], dead0, st_ref[p, S_BND],
+            rr0 - jump,
         )
-        i, q, st, ins, dl, ia, cnt, dead, bnd = jax.lax.while_loop(cond, body, carry0)
-
-        flush = (w == 0) & (i == 0) & (dead == 0) & (dl > 0)
-
-        @pl.when(flush)
-        def _flush():
-            rows_ref[p, jnp.minimum(cnt, K - 1)] = 0
-            words_ref[p, jnp.minimum(cnt, K - 1)] = OP_D | (ia << 2) | (dl << 17)
-
-        cnt = cnt + flush.astype(jnp.int32)
+        i, q, st, ins, dl, ia, cnt, dead, bnd, rr = jax.lax.while_loop(cond, body, carry0)
         st_ref[p, S_I] = i
         st_ref[p, S_Q] = q
         st_ref[p, S_STATE] = st
@@ -792,14 +860,34 @@ def _walk_ckpt_kernel(
         st_ref[p, S_CNT] = cnt
         st_ref[p, S_DEAD] = dead
         st_ref[p, S_BND] = bnd
-        nev_ref[p, 0] = cnt
-        meta_ref[p, 0] = q
-        meta_ref[p, 1] = dead | jnp.where(i > 0, 1, 0).astype(jnp.int32)
-        meta_ref[p, 2] = bnd
-        meta_ref[p, 3] = ins
+        st_ref[p, S_RUN] = rr
         return 0
 
-    jax.lax.fori_loop(0, G_, walk_problem, 0)
+    @pl.when(need_window > 0)
+    def _walk():
+        jax.lax.fori_loop(0, G_, walk_problem, 0)
+
+    # epilogue runs every window (skipped or walked) so the outputs reflect
+    # the final state after the last grid step
+    for p in range(G_):
+        i_p = st_ref[p, S_I]
+        dead_p = st_ref[p, S_DEAD]
+        dl_p = st_ref[p, S_DEL]
+        cnt_p = st_ref[p, S_CNT]
+        flush = (w == 0) & (i_p == 0) & (dead_p == 0) & (dl_p > 0)
+
+        @pl.when(flush)
+        def _flush(p=p, cnt_p=cnt_p, dl_p=dl_p):
+            idx = jnp.minimum(cnt_p, K - 1)
+            rows_ref[p, idx] = 0
+            words_ref[p, idx] = OP_D | (st_ref[p, S_IA] << 2) | (dl_p << 17)
+            st_ref[p, S_CNT] = cnt_p + 1
+
+        nev_ref[p, 0] = st_ref[p, S_CNT]
+        meta_ref[p, 0] = st_ref[p, S_Q]
+        meta_ref[p, 1] = dead_p | jnp.where(i_p > 0, 1, 0).astype(jnp.int32)
+        meta_ref[p, 2] = st_ref[p, S_BND]
+        meta_ref[p, 3] = st_ref[p, S_INS]
 
 
 def walk_ckpt(ckpt, ref_mask, qsh_pad, rlen, qlen, ms, W,
@@ -839,6 +927,14 @@ def walk_ckpt(ckpt, ref_mask, qsh_pad, rlen, qlen, ms, W,
                 lambda g, wr: (g, n_windows - 1 - wr, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            # the NEXT window's start carry (= this window's end row): its
+            # uncapped run plane refreshes walker jump budgets. Clamped at
+            # the last window; the kernel gates on w < n_windows - 1.
+            pl.BlockSpec(
+                (g_size, 1, 3, WN),
+                lambda g, wr: (g, jnp.minimum(n_windows - wr, n_windows - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((g_size, WV), lambda g, wr: (g, n_windows - 1 - wr), memory_space=pltpu.VMEM),
         ]
         + [qspec(t) for t in range(n_qb)],
@@ -864,6 +960,7 @@ def walk_ckpt(ckpt, ref_mask, qsh_pad, rlen, qlen, ms, W,
         ms.reshape(n_groups, g_size),
         W.reshape(n_groups, g_size),
         gmax.reshape(n_groups, 1),
+        ckpt,
         ckpt,
         ref_mask,
         *([qsh_pad] * n_qb),

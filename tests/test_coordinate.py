@@ -1,0 +1,96 @@
+"""Two-process --coordinate builds: workers sharing one checkpoint dir must
+claim disjoint merges, recover stale claims, and produce a graph identical to
+the single-process build (VERDICT r1 #9; SURVEY.md §5 cross-host merge-tree
+distribution)."""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+ACGT = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _write_genomes(tmp_path, n=6, L=1200, seed=3):
+    from pangraph_tpu.io.fasta import FastaRecord, write_fasta
+
+    rng = np.random.default_rng(seed)
+    base = ACGT[rng.integers(0, 4, L)]
+    recs = []
+    for i in range(n):
+        g = base.copy()
+        idx = rng.choice(L, L // 100, replace=False)
+        g[idx] = ACGT[rng.integers(0, 4, len(idx))]
+        g = list(g)
+        p = int(rng.integers(100, L - 100))
+        g[p:p] = list(ACGT[rng.integers(0, 4, 5)])
+        recs.append(FastaRecord(seq_name=f"g{i}", desc=None, seq=np.array(g, np.uint8), index=i))
+    fa = tmp_path / "in.fa"
+    write_fasta(str(fa), recs)
+    return fa
+
+
+def _run_worker(fa, out, ckpt_dir, coordinate=True):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    args = [
+        sys.executable, "-m", "pangraph_tpu.cli", "build", str(fa),
+        "-o", str(out), "--checkpoint-dir", str(ckpt_dir), "--no-tpu",
+        "--no-progress-bar", "-j", "2",
+    ]
+    if coordinate:
+        args.append("--coordinate")
+    return subprocess.Popen(args, env=env, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+
+
+def test_two_workers_share_one_build(tmp_path):
+    fa = _write_genomes(tmp_path)
+    ckpt = tmp_path / "ckpt"
+    out1, out2 = tmp_path / "g1.json", tmp_path / "g2.json"
+    w1 = _run_worker(fa, out1, ckpt)
+    w2 = _run_worker(fa, out2, ckpt)
+    for w in (w1, w2):
+        _, err = w.communicate(timeout=300)
+        assert w.returncode == 0, err.decode()[-2000:]
+    # both workers converge on the same final graph
+    g1 = json.loads(out1.read_text())
+    g2 = json.loads(out2.read_text())
+    assert g1 == g2
+    # and it matches a solo (non-coordinated) build
+    solo_out = tmp_path / "solo.json"
+    w = _run_worker(fa, solo_out, tmp_path / "ckpt_solo", coordinate=False)
+    _, err = w.communicate(timeout=300)
+    assert w.returncode == 0, err.decode()[-2000:]
+    assert json.loads(solo_out.read_text()) == g1
+    # claims were created (coordination actually happened)
+    claims = [f for f in os.listdir(ckpt) if f.startswith("claim-")]
+    assert claims, "no claim files were created"
+
+
+def test_stale_claim_takeover(tmp_path):
+    """A claim left by a dead worker must be taken over (stale_s elapsed)."""
+    from pangraph_tpu.build.build import MergeCheckpointer
+
+    ck = MergeCheckpointer(str(tmp_path / "ckpt"))
+    leaves = ["a", "b"]
+    assert ck.try_claim(leaves)
+    # second claim on a fresh file: refused
+    assert not ck.try_claim(leaves)
+    # age the claim beyond stale_s: takeover succeeds
+    p = os.path.join(ck.dir, f"claim-{ck.fingerprint(leaves)}")
+    old = time.time() - 7200
+    os.utime(p, (old, old))
+    assert ck.try_claim(leaves, stale_s=3600.0)
+
+
+def test_wait_for_timeout(tmp_path):
+    from pangraph_tpu.build.build import MergeCheckpointer
+
+    ck = MergeCheckpointer(str(tmp_path / "ckpt"))
+    with pytest.raises(TimeoutError):
+        ck.wait_for(["x", "y"], poll_s=0.01, timeout_s=0.1)
