@@ -83,7 +83,7 @@ class Minimizers:
     strands: np.ndarray  # uint8: 0 fwd, 1 rev
 
 
-_SKETCH_CACHE: dict = {}
+_SKETCH_CACHE: "OrderedDict" = None
 _SKETCH_CACHE_MAX = 4096
 
 
@@ -91,14 +91,26 @@ def sketch_cached(seq: np.ndarray, k: int, w: int) -> Minimizers:
     """Content-keyed sketch cache. Block consensuses recur across self-merge
     rounds and across guide-tree merges, so re-sketching dominates host time
     without this (the reference re-indexes every round too, but its C sketch
-    is ~10x faster than the numpy one)."""
-    key = (hash(seq.tobytes()), len(seq), k, w)
+    is ~10x faster than the numpy one).
+
+    Keyed by a blake2b digest of the bytes (collision-free in practice, unlike
+    Python's 64-bit `hash`, where a collision would silently return the wrong
+    sketch and degrade merge quality); LRU eviction instead of clear-all."""
+    global _SKETCH_CACHE
+    if _SKETCH_CACHE is None:
+        from collections import OrderedDict
+
+        _SKETCH_CACHE = OrderedDict()
+    import hashlib
+
+    key = (hashlib.blake2b(seq.tobytes(), digest_size=16).digest(), k, w)
     hit = _SKETCH_CACHE.get(key)
     if hit is not None:
+        _SKETCH_CACHE.move_to_end(key)
         return hit
     mm = sketch(seq, k, w)
-    if len(_SKETCH_CACHE) >= _SKETCH_CACHE_MAX:
-        _SKETCH_CACHE.clear()
+    while len(_SKETCH_CACHE) >= _SKETCH_CACHE_MAX:
+        _SKETCH_CACHE.popitem(last=False)
     _SKETCH_CACHE[key] = mm
     return mm
 
