@@ -39,14 +39,36 @@ def test_export_gfa_filters(test_graph_path, tmp_path):
     assert len(s_lines) == expected
 
 
+@pytest.mark.parametrize(
+    "min_length,min_depth,duplicated,n_expected",
+    [(1000, 2, True, 8), (1000, 2, False, 7), (None, None, True, 14), (None, None, False, 13)],
+)
+def test_export_gfa_segment_counts_exact(test_graph_path, tmp_path, min_length, min_depth, duplicated, n_expected):
+    """The reference's exact expected segment counts on test_graph.json
+    (itest_export_gfa.rs:17-24)."""
+    out = tmp_path / "g.gfa"
+    cmd = ["export", "gfa", test_graph_path, "-o", out]
+    if min_length is not None:
+        cmd += ["--minimum-length", min_length]
+    if min_depth is not None:
+        cmd += ["--minimum-depth", min_depth]
+    if not duplicated:
+        cmd += ["--no-duplicated"]
+    assert run_cli(cmd) == 0
+    s_lines = [l for l in out.read_text().splitlines() if l.startswith("S\t")]
+    assert len(s_lines) == n_expected
+
+
 def test_export_block_consensus(test_graph_path, tmp_path):
     out = tmp_path / "cons.fa"
     assert run_cli(["export", "block-consensus", test_graph_path, "-o", out]) == 0
     recs = read_fasta(out)
     g = Pangraph.from_file(test_graph_path)
     assert {r.seq_name for r in recs} == {str(b) for b in g.blocks}
+    # exact sequence equality with the block consensus
+    # (itest_export_block_consensus.rs:39-43)
     for r in recs:
-        assert len(r.seq) == g.blocks[int(r.seq_name)].consensus_len()
+        assert bytes(r.seq) == bytes(g.blocks[int(r.seq_name)].consensus)
 
 
 def test_export_block_sequences(test_graph_path, tmp_path):
@@ -64,15 +86,49 @@ def test_export_block_sequences(test_graph_path, tmp_path):
     assert set(meta) == {"path_name", "block_id", "start", "end", "strand"}
 
 
-def test_export_core_genome(test_graph_path, tmp_path):
+@pytest.mark.parametrize("aligned", [True, False])
+def test_export_core_genome(test_graph_path, tmp_path, aligned):
+    """itest_export_core_genome.rs:23-63: guide strain pCAV1344-40, fasta
+    names == sorted path names; aligned variant has uniform lengths."""
     g = Pangraph.from_file(test_graph_path)
-    guide = next(iter(g.paths.values())).name
+    guide = "pCAV1344-40"
+    assert guide in {p.name for p in g.paths.values()}
     out = tmp_path / "core.fa"
-    assert run_cli(["export", "core-genome", test_graph_path, "-o", out, "--guide-strain", guide]) == 0
+    cmd = ["export", "core-genome", test_graph_path, "-o", out, "--guide-strain", guide]
+    if not aligned:
+        cmd.append("--unaligned")
+    assert run_cli(cmd) == 0
     recs = read_fasta(out, validate=False)
-    assert {r.seq_name for r in recs} == {p.name for p in g.paths.values()}
-    # aligned: uniform lengths across strains (itest_export_core_genome.rs:23-63)
-    assert len({len(r.seq) for r in recs}) == 1
+    assert sorted(r.seq_name for r in recs) == sorted(p.name for p in g.paths.values())
+    if aligned:
+        assert len({len(r.seq) for r in recs}) == 1
+        # aligned alphabet: DNA with gap only
+        assert all(set(bytes(r.seq)) <= set(b"ACGTNRYSWKMBDHV-") for r in recs)
+    else:
+        assert all(b"-" not in bytes(r.seq) for r in recs)
+
+
+@pytest.mark.parametrize("aligned", [True, False])
+def test_export_block_sequences_per_node(test_graph_path, tmp_path, aligned):
+    """itest_export_block_sequences.rs:20-57: per-block record count equals
+    the block's alignment count; aligned lengths == consensus length,
+    unaligned lengths == each node's reconstructed length."""
+    outdir = tmp_path / "blocks"
+    cmd = ["export", "block-sequences", test_graph_path, "-o", outdir]
+    if not aligned:
+        cmd.append("--unaligned")
+    assert run_cli(cmd) == 0
+    g = Pangraph.from_file(test_graph_path)
+    for bid, block in g.blocks.items():
+        recs = read_fasta(outdir / f"block_{bid}.fa", validate=False)
+        assert len(recs) == block.depth()
+        for r in recs:
+            nid = int(r.seq_name.split()[0])
+            assert nid in block.alignments
+            if aligned:
+                assert len(r.seq) == block.consensus_len()
+            else:
+                assert len(r.seq) == len(block.alignments[nid].apply(block.consensus))
 
 
 def test_simplify(test_graph_path, tmp_path):
