@@ -1,104 +1,137 @@
-"""Junction-context GFA decomposition (reference:
-pypangraph/export/junctions_to_gfa.py).
+"""Junction-bubble GFA export.
 
-Blocks are paralog-split per junction: accessory blocks are renamed
-``J{n}__{block_id}`` so the same block in two junction contexts becomes two
-segments, while core anchor blocks stay single. The kept junction set comes
-from a core-synteny scaffold policy: the per-edge majority backbone
-("consensus"), one isolate's own core edges, or every junction ("all")."""
+Decomposes a pangenome graph into per-junction bubbles hung between core
+anchor blocks, so accessory variation renders as clean bubbles instead of a
+tangle. Output conventions are kept compatible with the reference
+pypangraph's ``export/junctions_to_gfa.py`` (reimplementation, not a port):
+accessory segments are paralog-split per junction and named
+``J{n}__{block_id}``; core anchors keep their bare block id and appear once
+globally; ``RC``/``LN`` tags carry depth and length.
+"""
 from __future__ import annotations
 
-from collections import Counter, defaultdict
+from collections import Counter
+from dataclasses import dataclass, field
 
-from pangraph_tpu.analysis.msu import core_paths
+
+@dataclass
+class JunctionGfa:
+    """A junction-context decomposition, accumulated walk by walk.
+
+    ``segments`` maps segment name -> consensus length; ``depths`` maps
+    name -> coverage (graph-wide occurrence count for core anchors, junction
+    traversal count for accessory copies); ``links`` holds oriented segment
+    adjacencies as ((name, strand), (name, strand)) pairs; ``prefixes`` maps
+    each ``J{n}`` tag back to the canonical core-edge id it represents.
+    """
+
+    segments: dict = field(default_factory=dict)
+    depths: Counter = field(default_factory=Counter)
+    links: set = field(default_factory=set)
+    prefixes: dict = field(default_factory=dict)
+
+    def add_walk(self, steps) -> None:
+        """Record one junction traversal: steps = [(name, strand, length, core_count)].
+        Core anchors pass core_count (their graph-wide depth); accessory
+        copies pass None and are depth-counted by traversal."""
+        oriented = []
+        for name, strand, length, core_count in steps:
+            self.segments[name] = length
+            if core_count is None:
+                self.depths[name] += 1
+            else:
+                self.depths[name] = core_count
+            oriented.append((name, strand))
+        self.links.update(zip(oriented, oriented[1:]))
+
+    def gfa_lines(self):
+        yield "H\tVN:Z:1.0"
+        for name in sorted(self.segments):
+            yield f"S\t{name}\t*\tLN:i:{self.segments[name]}\tRC:i:{self.depths[name]}"
+        for (n1, s1), (n2, s2) in sorted(self.links, key=lambda l: (str(l[0][0]), str(l[1][0]))):
+            o = {True: "+", "+": "+"}
+            yield f"L\t{n1}\t{o.get(s1, '-')}\t{n2}\t{o.get(s2, '-')}\t*"
+
+    def write(self, path) -> None:
+        from pangraph_tpu.io.files import create_maybe_compressed
+
+        with create_maybe_compressed(path, "wt") as f:
+            for line in self.gfa_lines():
+                f.write(line + "\n")
 
 
-def _iso_core_edges(an_graph, L_thr: int) -> dict:
-    """isolate -> frozenset of canonical core-edge string ids on its backbone."""
-    return {
-        iso: frozenset(e.to_str_id() for e in w.edges()) for iso, w in core_paths(an_graph, L_thr).items()
+def _kept_edges(bj, policy: str) -> list:
+    """Canonical core-edge ids selected by the scaffold policy, sorted so the
+    ``J{n}`` numbering is deterministic.
+
+    ``"all"`` keeps every junction edge present in ``bj``. Otherwise each
+    isolate's backbone (its genome purified to core blocks >= L_thr, via
+    ``core_paths``) votes with its edge set: ``"consensus"`` keeps edges on a
+    strict majority of backbones, and an isolate name keeps exactly that
+    isolate's backbone edges. Selected edges absent from ``bj`` are dropped.
+    """
+    from pangraph_tpu.analysis.msu import core_paths
+
+    present = set(bj.edges())
+    if policy == "all":
+        return sorted(present)
+    ballots = {
+        iso: frozenset(e.to_str_id() for e in walk.edges())
+        for iso, walk in core_paths(bj.g, bj.L_thr).items()
     }
-
-
-def _consensus_edge_set(iso_edges: dict) -> set:
-    """Core edges present in a strict majority of isolate backbones."""
-    n = len(iso_edges)
-    counts = Counter(e for edges in iso_edges.values() for e in edges)
-    return {e for e, c in counts.items() if c > n / 2}
-
-
-def _scaffold_edges(bj, scaffold: str) -> list:
-    available = set(bj.edges())
-    if scaffold == "all":
-        return sorted(available)
-    iso_edges = _iso_core_edges(bj.g, bj.L_thr)
-    if scaffold == "consensus":
-        chosen = _consensus_edge_set(iso_edges)
-    elif scaffold in iso_edges:
-        chosen = iso_edges[scaffold]
+    if policy == "consensus":
+        tally = Counter(e for votes in ballots.values() for e in votes)
+        chosen = {e for e, v in tally.items() if 2 * v > len(ballots)}
+    elif policy in ballots:
+        chosen = ballots[policy]
     else:
         raise ValueError(
-            f"unknown scaffold isolate {scaffold!r}; expected 'consensus', 'all', or one of {sorted(iso_edges)}"
+            f"unknown scaffold {policy!r}: expected 'consensus', 'all', or an isolate "
+            f"name from {sorted(ballots)}"
         )
-    return sorted(chosen & available)
+    return sorted(chosen & present)
+
+
+def build_junction_gfa(bj, scaffold: str = "consensus") -> JunctionGfa:
+    """Build the junction-context decomposition of ``bj`` (a BackboneJunctions
+    view) under the given scaffold policy."""
+    stats = bj.g.to_blockstats_df()
+    length_of = stats["len"].to_dict()
+    count_of = stats["count"].to_dict()
+    out = JunctionGfa()
+    for n, edge in enumerate(_kept_edges(bj, scaffold)):
+        tag = f"J{n}"
+        out.prefixes[tag] = edge
+        for junction in bj[edge].values():
+            cj = junction.to_canonical()
+            anchors = {cj.left.id, cj.right.id}
+            out.add_walk(
+                [
+                    (
+                        str(ob.id) if ob.id in anchors else f"{tag}__{ob.id}",
+                        ob.strand,
+                        int(length_of[ob.id]),
+                        int(count_of[ob.id]) if ob.id in anchors else None,
+                    )
+                    for ob in (cj.left, *cj.center.oriented_blocks, cj.right)
+                ]
+            )
+    return out
+
+
+# -- compatibility wrappers (the tuple-based surface predating JunctionGfa) --
 
 
 def junction_context_gfa(bj, scaffold: str = "consensus"):
-    """Decompose the graph into a walkable junction-context GFA.
-
-    Returns (segments, links, depths, prefix_map):
-    - segments: dict segment name -> length (bp)
-    - links: set of (name1, strand1, name2, strand2)
-    - depths: segment name -> coverage (graph-wide count for core anchors,
-      per-junction traversal count for accessory copies)
-    - prefix_map: "J{n}" -> canonical edge string id
-    """
-    bdf = bj.g.to_blockstats_df()
-    stats = {bid: (int(row["len"]), int(row["count"])) for bid, row in bdf.iterrows()}
-    kept = _scaffold_edges(bj, scaffold)
-
-    segments = {}
-    core_counts = {}
-    links = set()
-    prefix_map = {}
-    acc_depth = defaultdict(int)
-
-    for n, edge_str in enumerate(kept):
-        prefix = f"J{n}"
-        prefix_map[prefix] = edge_str
-        for junction in bj[edge_str].values():
-            jc = junction.to_canonical()
-            core_ids = {jc.left.id, jc.right.id}
-            walk = [jc.left] + list(jc.center.oriented_blocks) + [jc.right]
-            segment_walk = []
-            for ob in walk:
-                if ob.id in core_ids:
-                    name = str(ob.id)
-                else:
-                    name = f"{prefix}__{ob.id}"
-                    acc_depth[name] += 1
-                segments[name] = stats[ob.id][0]
-                core_counts[name] = stats[ob.id][1]
-                segment_walk.append((name, ob.strand))
-            for (n1, s1), (n2, s2) in zip(segment_walk, segment_walk[1:]):
-                links.add((n1, s1, n2, s2))
-
-    depths = {
-        name: acc_depth[name] if name in acc_depth else core_counts[name] for name in segments
-    }
-    return segments, links, depths, prefix_map
+    """Compat shim: returns (segments, links, depths, prefix_map) with links
+    as 4-tuples, as the original function did."""
+    jg = build_junction_gfa(bj, scaffold)
+    links = {(n1, s1, n2, s2) for (n1, s1), (n2, s2) in jg.links}
+    return jg.segments, links, dict(jg.depths), jg.prefixes
 
 
 def write_junction_gfa(path, segments, links, depths) -> None:
-    """Serialize the decomposition as GFA v1 (S/L lines, RC/LN tags)."""
-    from pangraph_tpu.io.files import create_maybe_compressed
-
-    def s_ori(strand) -> str:
-        return "+" if strand in (True, "+") else "-"
-
-    with create_maybe_compressed(path, "wt") as f:
-        f.write("H\tVN:Z:1.0\n")
-        for name in sorted(segments):
-            f.write(f"S\t{name}\t*\tLN:i:{segments[name]}\tRC:i:{depths[name]}\n")
-        for n1, st1, n2, st2 in sorted(links, key=lambda t: (str(t[0]), str(t[2]))):
-            f.write(f"L\t{n1}\t{s_ori(st1)}\t{n2}\t{s_ori(st2)}\t*\n")
+    """Compat shim: serialize a tuple-based decomposition as GFA v1."""
+    jg = JunctionGfa(segments=dict(segments), depths=Counter(depths))
+    jg.links = {((n1, s1), (n2, s2)) for n1, s1, n2, s2 in links}
+    jg.write(path)
