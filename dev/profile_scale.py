@@ -18,7 +18,26 @@ from pangraph_tpu.ops.batch_align import TpuBatchAligner  # noqa: E402
 from pangraph_tpu.utils import trace  # noqa: E402
 
 
+def _watcher(period: float = 60.0):
+    """Dump trace + align-round stats periodically so a hung/slow build is
+    diagnosable without waiting for completion."""
+    import threading
+
+    def run():
+        import time as _t
+
+        while True:
+            _t.sleep(period)
+            print("==== periodic dump ====", flush=True)
+            print(trace.summary(), flush=True)
+            for kind, nj, cells, s in TpuBatchAligner.STATS[-8:]:
+                print(f"  {kind:24s} n={nj:5d} cells={cells / 1e6:10.1f}M t={s:7.3f}s", flush=True)
+
+    threading.Thread(target=run, daemon=True).start()
+
+
 def main():
+    _watcher()
     n = int(os.environ.get("PROF_N", 4))
     L = int(os.environ.get("PROF_L", 2_500_000))
     scale = make_synthetic(n_genomes=n, length=L, seed=7, sub_rate=0.005)

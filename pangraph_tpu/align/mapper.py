@@ -342,12 +342,19 @@ def _align_chain_jobs(jobs: list, band_params: BandedAlignParams, aligner=None) 
 
 
 def map_all_vs_all(
-    seqs_by_name: dict, p: MapperParams, band_params: BandedAlignParams = None, aligner=None
+    seqs_by_name: dict, p: MapperParams, band_params: BandedAlignParams = None, aligner=None,
+    n_threads: int = 1,
 ) -> list:
     """Map every sequence against every other (minimap2 -X semantics: skip
     self-mapping and dual pairs — each unordered pair is reported once).
     Returns Alignment records with block names as Hit names. All base-level
-    chain-span alignments are collected first and batched through `aligner`."""
+    chain-span alignments are collected first and batched through `aligner`.
+
+    With n_threads > 1 the per-query sketch/anchor/chain stage runs on a
+    thread pool (the TPU mapping of the reference's rayon par_bridge,
+    align_with_minimap2_lib.rs:64-74): the native sketch/chain C++ releases
+    the GIL, the index is read-only, and job order stays deterministic
+    (concatenated in query order)."""
     from pangraph_tpu.utils import trace
 
     band_params = band_params or BandedAlignParams()
@@ -358,8 +365,10 @@ def map_all_vs_all(
     chain_p = ChainParams(
         k=p.k, max_gap=p.max_gap, bw=p.bw, min_score=p.min_chain_score, min_anchors=p.min_anchors
     )
-    jobs = []
-    for qi, qname in enumerate(names):
+
+    def query_jobs(qi: int) -> list:
+        jobs = []
+        qname = names[qi]
         qseq = seqs[qi]
         with trace.span("mapper.sketch"):
             qmm = sketch(qseq, p.k, p.w)
@@ -374,7 +383,7 @@ def map_all_vs_all(
             keep = rid < qi
             rid, rpos, qpos, rel = rid[keep], rpos[keep], qpos[keep], rel[keep]
         if len(rid) == 0:
-            continue
+            return jobs
         qlen = len(qseq)
         rc_qry = revcomp(qseq) if (rel == 1).any() else None
         # reverse matches: chain in revcomp-query coordinates
@@ -410,6 +419,17 @@ def map_all_vs_all(
                                 p,
                             )
                         )
+        return jobs
+
+    n_threads = max(1, min(n_threads, len(names)))
+    if n_threads > 1:
+        import concurrent.futures as _cf
+
+        with _cf.ThreadPoolExecutor(max_workers=n_threads) as pool:
+            per_query = list(pool.map(query_jobs, range(len(names))))
+    else:
+        per_query = [query_jobs(qi) for qi in range(len(names))]
+    jobs = [j for js in per_query for j in js]
     edits = _align_chain_jobs(jobs, band_params, aligner)
     out = []
     for job, edit in zip(jobs, edits):

@@ -28,7 +28,9 @@ def make_find_matches(args: BuildArgs, aligner=None):
 
     def find_matches(blocks: dict, aln_args):
         seqs = {bid: b.consensus for bid, b in blocks.items()}
-        return map_all_vs_all(seqs, mp, args.banded_params, aligner=aligner)
+        return map_all_vs_all(
+            seqs, mp, args.banded_params, aligner=aligner, n_threads=max(1, args.jobs)
+        )
 
     return find_matches
 
