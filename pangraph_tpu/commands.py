@@ -128,3 +128,29 @@ def export_schema(output=None) -> str:
         with create_maybe_compressed(output, "wt") as f:
             f.write(text)
     return text
+
+
+def graph_quality(graph: Pangraph) -> dict:
+    """Graph-quality summary: the metrics the reference publishes for its
+    ecoli tutorial run (t02-pangraph-output-file.md:220-225 — pangenome
+    size, core-genome size, block-frequency distribution), plus the
+    compression ratio (input bp / pangenome bp). Used by the bench and by
+    tests/test_graph_quality.py to catch merge-trajectory degradations that
+    the lossless-roundtrip oracle cannot see."""
+    pangenome_bp = sum(b.consensus_len() for b in graph.blocks.values())
+    core_ids = set(graph.core_block_ids())
+    core_bp = sum(graph.blocks[b].consensus_len() for b in core_ids)
+    input_bp = sum(p.tot_len for p in graph.paths.values())
+    depth_hist: dict = {}
+    for b in graph.blocks.values():
+        depth_hist[len(b.alignments)] = depth_hist.get(len(b.alignments), 0) + 1
+    return {
+        "input_bp": input_bp,
+        "pangenome_bp": pangenome_bp,
+        "core_bp": core_bp,
+        "core_fraction": round(core_bp / pangenome_bp, 4) if pangenome_bp else 0.0,
+        "compression": round(input_bp / pangenome_bp, 3) if pangenome_bp else 0.0,
+        "n_blocks": len(graph.blocks),
+        "n_core_blocks": len(core_ids),
+        "block_depth_hist": dict(sorted(depth_hist.items())),
+    }
