@@ -54,7 +54,10 @@ def main():
     g = build(scale, args, aligner=aligner)
     dt = time.time() - t
     verify_roundtrip(g, scale)
+    from pangraph_tpu.commands import graph_quality
+
     print(f"timed_build_s={dt:.2f} blocks={len(g.blocks)} roundtrip=exact", flush=True)
+    print("quality:", graph_quality(g), flush=True)
     print(trace.summary())
     print("--- align rounds (kind, n_jobs, cells, seconds) ---")
     tot = {}

@@ -97,6 +97,10 @@ def _edit_from_rle_hostmatch(ops, n_ops, subs, n_subs, lead_ins, qry) -> Edit:
     return Edit(subs=out_subs, dels=dels, inss=inss)
 
 
+class _DeviceStall(RuntimeError):
+    """A device round produced nothing within the watchdog timeout."""
+
+
 class TpuBatchAligner:
     """Batched aligner backed by the JAX stripe kernel.
 
@@ -178,12 +182,15 @@ class TpuBatchAligner:
     V2_BYTES = 2 * 1024 * 1024 * 1024  # per-batch paths-buffer budget (v2 kernel)
     # paths bytes/problem beyond which the checkpointed DP + window re-derive
     # walk is used (HBM holds carries, ~20-100x smaller; kernel-parity tested,
-    # tests/test_stripe_ckpt.py). ON by default since MAX_B covers the full
-    # band-doubling ladder for chromosome-scale refs: at L=2.5 Mbp the host's
-    # own widen cap (NATIVE_WIDEN_AREA / L) is ~W=1000, inside the kernel's
-    # W=1023 — the round-1 regression (band-capped edits at W=511 degrading
-    # the merge trajectory, 50 s -> 197 s) no longer applies.
-    CKPT_PATHS_BYTES = int(float(os.environ.get("PANGRAPH_TPU_CKPT_BYTES", 7e8)))
+    # tests/test_stripe_ckpt.py). Default OFF on the dispatch path: measured
+    # r3 on the single tunneled v5e chip, routing Mbp jobs through the ckpt
+    # kernel cost 58 s for the 4x2.5 Mbp build (r2 bench) and stalled >25 min
+    # in one r3 run, while the host AVX-512 path finishes the same build in
+    # 16 s (dev/profile_scale.py, ckpt on vs off). Mbp jobs beyond the
+    # non-ckpt HBM budget therefore run on host; deployments with local
+    # (non-tunneled) chips can re-enable with PANGRAPH_TPU_CKPT_BYTES=7e8.
+    # The kernel itself stays covered by tests and the multichip dryrun.
+    CKPT_PATHS_BYTES = int(float(os.environ.get("PANGRAPH_TPU_CKPT_BYTES", 1e18)))
     HBM_BUDGET = 10 * 1024 * 1024 * 1024  # total outstanding paths bytes across threads
     # widest kernel band bucket (bands beyond this are clamped to the bucket
     # and routed host-ward when the widen gate allows): B=2048 = W<=1023,
@@ -202,6 +209,13 @@ class TpuBatchAligner:
     NATIVE_WIDEN_AREA = int(float(os.environ.get("PANGRAPH_TPU_NATIVE_WIDEN_AREA", 5e9)))
     # per-job traceback-paths budget for the native aligner (host RAM)
     NATIVE_PATHS_BYTES = 8 << 30
+    # device-fetch watchdog: a device round that produces nothing for this
+    # long (plus a rate-scaled term) is declared stalled — the round reruns
+    # on host and every later round routes host-ward. Tunneled chips have
+    # been observed to stall indefinitely mid-build (r3: >25 min with ~0
+    # host CPU); without the watchdog that hangs the whole build.
+    FETCH_TIMEOUT_S = float(os.environ.get("PANGRAPH_TPU_FETCH_TIMEOUT", 180.0))
+    DEVICE_UNHEALTHY = False  # class-level: flipped by the watchdog
 
     @staticmethod
     def _job_cells(job: AlignJob, W: int) -> int:
@@ -241,6 +255,8 @@ class TpuBatchAligner:
         kbumps = kbumps or [1] * n
         use_native = self.NATIVE_CELL_BUDGET > 0 and self._native_lib() is not None
         budget = self.NATIVE_CELL_BUDGET
+        if use_native and self.DEVICE_UNHEALTHY:
+            budget = 1 << 62  # watchdog fired earlier: keep everything on host
         if use_native and self._device_kind() != "tpu":
             # no accelerator: the kernel would run in Pallas interpret mode,
             # which is never competitive with the native host aligner
@@ -547,8 +563,28 @@ class TpuBatchAligner:
                     packed = _pack_v2(out)
                 launched.append((sub, K, packed))
 
+            cells = sum(m_pad * R_cap * B for _, _, m_pad, R_cap, B, _, _, _ in planned)
             with trace.span("align.fetch"):
-                bufs = jax.device_get([p for _, _, p in launched])
+                bufs = self._fetch_with_watchdog(
+                    [p for _, _, p in launched], self.FETCH_TIMEOUT_S + cells / 1e8
+                )
+        except _DeviceStall:
+            # the device round is gone; rerun every planned job on host and
+            # route all later rounds host-ward (DEVICE_UNHEALTHY is set)
+            import concurrent.futures as _cf
+
+            with _cf.ThreadPoolExecutor(max_workers=2) as pool:
+                futs = {
+                    i: pool.submit(self._host_fallback, jobs[i])
+                    for sub, *_ in planned
+                    for i in sub
+                }
+                for i, f in futs.items():
+                    edits[i] = f.result()
+            if fb_futs:
+                for i, f in fb_futs.items():
+                    edits[i] = f.result()
+            return edits, boundary, overflow
         finally:
             if round_bytes:
                 self._mem_release(round_bytes)
@@ -578,6 +614,37 @@ class TpuBatchAligner:
             for i, f in fb_futs.items():
                 edits[i] = f.result()
         return edits, boundary, overflow
+
+    def _fetch_with_watchdog(self, packed, timeout: float):
+        """device_get on a daemon thread with a stall watchdog. On timeout the
+        device is quarantined for the rest of the process (DEVICE_UNHEALTHY)
+        and _DeviceStall is raised so the caller reruns the round on host.
+        The blocked fetch thread is daemonic: it cannot hang process exit."""
+        import threading
+
+        import jax
+
+        box = {}
+        done = threading.Event()
+
+        def run():
+            try:
+                box["v"] = jax.device_get(packed)
+            except BaseException as e:  # surfaced to the caller below
+                box["e"] = e
+            done.set()
+
+        threading.Thread(target=run, daemon=True, name="align-fetch").start()
+        if not done.wait(timeout):
+            type(self).DEVICE_UNHEALTHY = True
+            log.warning(
+                "device fetch stalled (> %.0f s): rerunning the round on the host "
+                "aligner and routing all later rounds host-ward", timeout,
+            )
+            raise _DeviceStall()
+        if "e" in box:
+            raise box["e"]
+        return box["v"]
 
     def _mem_acquire(self, nbytes: int) -> None:
         """Bound total outstanding paths bytes across threads (the parallel
