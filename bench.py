@@ -71,17 +71,56 @@ def make_synthetic(n_genomes: int, length: int, seed: int = 0, sub_rate: float =
     return records
 
 
-def timed_build(records, args, aligner, repeats=1):
-    from pangraph_tpu.build.build import build, verify_roundtrip
+def timed_build(records, args, aligner, repeats=1, stats=False):
+    """Best-of-N timed build. With stats=True the last repeat collects
+    per-round align stats (cells, aligned ref bp, engine seconds)."""
+    import os
 
-    best, graph = None, None
-    for _ in range(repeats):
+    from pangraph_tpu.build.build import build, verify_roundtrip
+    from pangraph_tpu.ops.batch_align import TpuBatchAligner
+
+    best, graph, align_stats = None, None, None
+    for rep in range(repeats):
+        collect = stats and rep == repeats - 1
+        if collect:
+            os.environ["PANGRAPH_TPU_ALIGN_STATS"] = "1"
+            TpuBatchAligner.STATS.clear()
         t = time.time()
         graph = build(records, args, aligner=aligner)
         dt = time.time() - t
         best = dt if best is None else min(best, dt)
+        if collect:
+            os.environ.pop("PANGRAPH_TPU_ALIGN_STATS", None)
+            cells = sum(s[2] for s in TpuBatchAligner.STATS)
+            bp = sum(s[4] for s in TpuBatchAligner.STATS)
+            secs = sum(s[3] for s in TpuBatchAligner.STATS)
+            align_stats = {
+                "aligned_ref_bp": bp,
+                "dp_cells": cells,
+                "align_engine_s": round(secs, 2),
+                "aligned_bp_per_s_per_chip": round(bp / dt, 1),
+                "dp_cells_per_s": round(cells / max(secs, 1e-9), 1),
+            }
     verify_roundtrip(graph, records)
-    return best, graph
+    return best, graph, align_stats
+
+
+def workload_report(records, dt, graph, align_stats=None):
+    from pangraph_tpu.commands import graph_quality
+
+    q = graph_quality(graph)
+    rep = {
+        "genomes": len(records),
+        "input_bp": q["input_bp"],
+        "wall_s": round(dt, 2),
+        "bp_per_s": round(q["input_bp"] / dt, 1),
+        "vs_baseline": round(q["input_bp"] / dt / REFERENCE_BPS, 3),
+        "roundtrip": "exact",
+        "quality": {k: q[k] for k in ("pangenome_bp", "core_fraction", "compression", "n_blocks")},
+    }
+    if align_stats:
+        rep["align"] = align_stats
+    return rep
 
 
 def main():
@@ -91,14 +130,15 @@ def main():
     from pangraph_tpu.ops.batch_align import TpuBatchAligner
 
     plasmids = read_fasta("/root/reference/data/russian_doll_plasmids.fa.gz")
-    plasmid_bp = sum(len(r.seq) for r in plasmids)
     synth = make_synthetic(n_genomes=12, length=120_000, seed=42)
-    synth_bp = sum(len(r.seq) for r in synth)
-    # chromosome-scale workload (the ecoli.fa.gz class; that file is an LFS
-    # stub here): 4 x 2.5 Mbp, ~1% pairwise divergence, one large inversion
-    # and a circular rotation each
+    # chromosome-scale workload: 4 x 2.5 Mbp, ~1% pairwise divergence, one
+    # large inversion and a circular rotation each
     scale = make_synthetic(n_genomes=4, length=2_500_000, seed=7, sub_rate=0.005)
-    scale_bp = sum(len(r.seq) for r in scale)
+    # HEADLINE: the ecoli.fa.gz class at full scale (that file is an LFS stub
+    # here): 10 genomes x 4.6 Mbp = 46 Mbp input, ~1% pairwise divergence —
+    # the dataset BASELINE.md anchors the reference's "< 5 minutes on 4
+    # cores" to (t01-building-pangraph.md:49)
+    ecoli = make_synthetic(n_genomes=10, length=4_600_000, seed=13, sub_rate=0.005)
 
     args_p = BuildArgs(circular=True, jobs=2)
     args_s = BuildArgs(circular=True, jobs=6)
@@ -108,54 +148,36 @@ def main():
     # warm-up: compile every kernel tier (persistently cached)
     _ = build(plasmids, args_p, aligner=aligner)
     _ = build(synth, args_s, aligner=aligner)
-    _ = build(scale, args_c, aligner=aligner)
 
-    pl_dt, pl_graph = timed_build(plasmids, args_p, aligner, repeats=3)
-    sy_dt, sy_graph = timed_build(synth, args_s, aligner, repeats=2)
-    sc_dt, sc_graph = timed_build(scale, args_c, aligner, repeats=2)
-    sy1_dt, _ = timed_build(synth, BuildArgs(circular=True, jobs=1), aligner, repeats=1)
+    pl_dt, pl_graph, _ = timed_build(plasmids, args_p, aligner, repeats=3)
+    sy_dt, sy_graph, _ = timed_build(synth, args_s, aligner, repeats=2)
+    sc_dt, sc_graph, _ = timed_build(scale, args_c, aligner, repeats=2)
+    sy1_dt, _g, _ = timed_build(synth, BuildArgs(circular=True, jobs=1), aligner, repeats=1)
+    # the headline workload is too large to warm separately: single timed run
+    # (its kernel tiers are warmed by the smaller workloads above)
+    ec_dt, ec_graph, ec_align = timed_build(ecoli, args_c, aligner, repeats=1, stats=True)
 
-    # headline: the real bundled dataset (the synthetic set is harder than
-    # the reference's E. coli benchmark: every pair ~2% divergent with
-    # segmental inversions; it is reported as the scaling detail)
-    bps = plasmid_bp / pl_dt
+    ec = workload_report(ecoli, ec_dt, ec_graph, ec_align)
+    sy = workload_report(synth, sy_dt, sy_graph)
+    sy["host_scaling"] = {
+        "jobs1_wall_s": round(sy1_dt, 2),
+        "jobs6_wall_s": round(sy_dt, 2),
+        "speedup": round(sy1_dt / sy_dt, 2),
+    }
     print(
         json.dumps(
             {
+                # headline = the LARGEST workload (46 Mbp ecoli class), per
+                # VERDICT r2: no cherry-picking small fast sets
                 "metric": "graph_build_input_bp_per_s",
-                "value": round(bps, 1),
+                "value": ec["bp_per_s"],
                 "unit": "bp/s",
-                "vs_baseline": round(bps / REFERENCE_BPS, 3),
+                "vs_baseline": ec["vs_baseline"],
                 "detail": {
-                    "russian_doll_plasmids": {
-                        "input_bp": plasmid_bp,
-                        "wall_s": round(pl_dt, 2),
-                        "blocks": len(pl_graph.blocks),
-                        "roundtrip": "exact",
-                    },
-                    "synthetic_12x120kb": {
-                        "genomes": len(synth),
-                        "input_bp": synth_bp,
-                        "wall_s": round(sy_dt, 2),
-                        "bp_per_s": round(synth_bp / sy_dt, 1),
-                        "vs_baseline": round(synth_bp / sy_dt / REFERENCE_BPS, 3),
-                        "blocks": len(sy_graph.blocks),
-                        "roundtrip": "exact",
-                        "host_scaling": {
-                            "jobs1_wall_s": round(sy1_dt, 2),
-                            "jobs6_wall_s": round(sy_dt, 2),
-                            "speedup": round(sy1_dt / sy_dt, 2),
-                        },
-                    },
-                    "chromosome_scale_4x2.5Mbp": {
-                        "genomes": len(scale),
-                        "input_bp": scale_bp,
-                        "wall_s": round(sc_dt, 2),
-                        "bp_per_s": round(scale_bp / sc_dt, 1),
-                        "vs_baseline": round(scale_bp / sc_dt / REFERENCE_BPS, 3),
-                        "blocks": len(sc_graph.blocks),
-                        "roundtrip": "exact",
-                    },
+                    "ecoli_class_10x4.6Mbp": ec,
+                    "chromosome_scale_4x2.5Mbp": workload_report(scale, sc_dt, sc_graph),
+                    "synthetic_12x120kb": sy,
+                    "russian_doll_plasmids": workload_report(plasmids, pl_dt, pl_graph),
                     "baseline": "reference pangraph v1: 46 Mbp in ~300 s on 4 CPU cores (BASELINE.md)",
                 },
             }

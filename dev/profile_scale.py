@@ -30,7 +30,7 @@ def _watcher(period: float = 60.0):
             _t.sleep(period)
             print("==== periodic dump ====", flush=True)
             print(trace.summary(), flush=True)
-            for kind, nj, cells, s in TpuBatchAligner.STATS[-8:]:
+            for kind, nj, cells, s, _bp in TpuBatchAligner.STATS[-8:]:
                 print(f"  {kind:24s} n={nj:5d} cells={cells / 1e6:10.1f}M t={s:7.3f}s", flush=True)
 
     threading.Thread(target=run, daemon=True).start()
@@ -61,16 +61,17 @@ def main():
     print(trace.summary())
     print("--- align rounds (kind, n_jobs, cells, seconds) ---")
     tot = {}
-    for kind, nj, cells, s in TpuBatchAligner.STATS:
+    for kind, nj, cells, s, bp in TpuBatchAligner.STATS:
         base = kind.split("[")[0]
-        a = tot.setdefault(base, [0, 0, 0.0])
+        a = tot.setdefault(base, [0, 0, 0.0, 0])
         a[0] += nj
         a[1] += cells
         a[2] += s
+        a[3] += bp
         print(f"  {kind:24s} n={nj:5d} cells={cells / 1e6:10.1f}M t={s:7.3f}s")
     print("--- totals by kind ---")
-    for k, (nj, cells, s) in tot.items():
-        print(f"  {k:10s} n={nj:5d} cells={cells / 1e6:10.1f}M t={s:8.2f}s")
+    for k, (nj, cells, s, bp) in tot.items():
+        print(f"  {k:10s} n={nj:5d} cells={cells / 1e6:10.1f}M bp={bp / 1e6:8.1f}M t={s:8.2f}s")
 
 
 if __name__ == "__main__":

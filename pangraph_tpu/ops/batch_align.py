@@ -240,7 +240,7 @@ class TpuBatchAligner:
                 cls._device_kind_cache = "cpu"
         return cls._device_kind_cache
 
-    STATS = []  # (kind, n_jobs, cells, seconds) when PANGRAPH_TPU_ALIGN_STATS=1
+    STATS = []  # (kind, n_jobs, cells, seconds, ref_bp) when PANGRAPH_TPU_ALIGN_STATS=1
 
     def _run_round(self, jobs: list, widths: list, kbumps: list = None):
         """Route each job of the round to host C++ or the device kernel.
@@ -271,7 +271,7 @@ class TpuBatchAligner:
             out = self._dispatch_device(jobs, widths, kbumps)
             if stats:
                 cells = sum(self._job_cells(j, w) for j, w in zip(jobs, widths))
-                self.STATS.append(("v2", n, cells, _time.time() - t0))
+                self.STATS.append(("v2", n, cells, _time.time() - t0, sum(len(j.ref) for j in jobs)))
             return out
 
         max_w_kernel = (self.MAX_B - 2) // 2
@@ -322,7 +322,10 @@ class TpuBatchAligner:
             edits, boundary, overflow = e, b, o
         if stats:
             self.STATS.append(
-                (f"mixed[n={len(nat_idx)},d={len(dev_idx)}]", n, sum(cells), _time.time() - t0)
+                (
+                    f"mixed[n={len(nat_idx)},d={len(dev_idx)}]", n, sum(cells),
+                    _time.time() - t0, sum(len(j.ref) for j in jobs),
+                )
             )
         return edits, boundary, overflow
 
