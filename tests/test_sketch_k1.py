@@ -71,13 +71,13 @@ def test_jenkins_u64_emulation_matches_numpy():
     for k in (15, 19, 31):
         mask = (1 << (2 * k)) - 1
         x = rng.integers(0, mask + 1, size=(8, 128), dtype=np.uint64)
-        hi = (x >> np.uint64(32)).astype(np.uint32)
-        lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (x >> np.uint64(32)).astype(np.uint32).view(np.int32)
+        lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
         ghi, glo = jax.jit(
             lambda h, l, m=mask: _jenkins_u64(h, l, (m >> 32) & 0xFFFFFFFF, m & 0xFFFFFFFF)
         )(hi, lo)
-        got = (np.asarray(ghi).astype(np.uint64) << np.uint64(32)) | np.asarray(glo).astype(
-            np.uint64
-        )
+        got = (
+            np.asarray(ghi).view(np.uint32).astype(np.uint64) << np.uint64(32)
+        ) | np.asarray(glo).view(np.uint32).astype(np.uint64)
         want = jenkins_hash(x, mask)
         assert np.array_equal(got, want), k
