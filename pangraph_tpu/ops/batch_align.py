@@ -213,9 +213,14 @@ class TpuBatchAligner:
     # long (plus a rate-scaled term) is declared stalled — the round reruns
     # on host and every later round routes host-ward. Tunneled chips have
     # been observed to stall indefinitely mid-build (r3: >25 min with ~0
-    # host CPU); without the watchdog that hangs the whole build.
-    FETCH_TIMEOUT_S = float(os.environ.get("PANGRAPH_TPU_FETCH_TIMEOUT", 180.0))
+    # host CPU); without the watchdog that hangs the whole build. The first
+    # fetch of a new kernel shape may be serving a remote compile (~2 min on
+    # the tunnel, and dispatch does not block), so it gets the long budget;
+    # warm shapes get the short one.
+    FETCH_TIMEOUT_S = float(os.environ.get("PANGRAPH_TPU_FETCH_TIMEOUT", 45.0))
+    FETCH_TIMEOUT_COLD_S = float(os.environ.get("PANGRAPH_TPU_FETCH_TIMEOUT_COLD", 300.0))
     DEVICE_UNHEALTHY = False  # class-level: flipped by the watchdog
+    _SHAPES_WARM: set = set()  # kernel shapes fetched successfully before
 
     @staticmethod
     def _job_cells(job: AlignJob, W: int) -> int:
@@ -567,10 +572,12 @@ class TpuBatchAligner:
                 launched.append((sub, K, packed))
 
             cells = sum(m_pad * R_cap * B for _, _, m_pad, R_cap, B, _, _, _ in planned)
+            shapes = {(m_pad, R_cap, B, K, ck) for _, _, m_pad, R_cap, B, K, _, ck in planned}
+            cold = not shapes <= self._SHAPES_WARM
+            base = self.FETCH_TIMEOUT_COLD_S if cold else self.FETCH_TIMEOUT_S
             with trace.span("align.fetch"):
-                bufs = self._fetch_with_watchdog(
-                    [p for _, _, p in launched], self.FETCH_TIMEOUT_S + cells / 1e8
-                )
+                bufs = self._fetch_with_watchdog([p for _, _, p in launched], base + cells / 1e8)
+            self._SHAPES_WARM.update(shapes)
         except _DeviceStall:
             # the device round is gone; rerun every planned job on host and
             # route all later rounds host-ward (DEVICE_UNHEALTHY is set)
