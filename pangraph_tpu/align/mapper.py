@@ -162,6 +162,56 @@ class _ChainJob:
     qs: int  # segment start in aligned-orientation coords
     qe: int
     rel: int
+    # anchor-split pieces [(r0, r1, q0, q1, ms, bw)] in span coordinates;
+    # None = align the whole span as one job
+    segments: list = None
+
+
+# anchor-split: spans longer than 2*SEG are cut at chain anchors into ~SEG-
+# sized pieces, each aligned independently with a LOCAL band and stitched.
+# This is the reference's architecture (minimap2 ksw2 extends BETWEEN chain
+# anchors, minimap2-sys/minimap2/align.c) and the band win is large: a whole
+# Mbp span needs W >= its total diagonal drift, while each piece only needs
+# its local drift — and ~SEG-sized pieces batch onto the device kernel's
+# mid tiers instead of falling back to single-threaded host jobs.
+CHAIN_SEG = 16384
+
+
+def _split_span_at_anchors(ar, aq, k: int, r_end: int, q_end: int, band_extra: int, seg: int = CHAIN_SEG):
+    """Cut points along a chain span: returns [(r0, r1, q0, q1, ms, bw)].
+
+    ar/aq: anchor positions in span coordinates (strictly increasing). Cuts
+    land on anchor starts (ref[a] == qry[a] for k bases there, so pinning
+    the DP corner at a cut is exact); each piece's band derives from its own
+    anchors' diagonal spread plus the piece's corner offset."""
+    n = len(ar)
+    bounds = [(0, 0)]
+    cut_idx = [0]
+    last_r = 0
+    for i in range(n):
+        if ar[i] - last_r >= seg and ar[i] < r_end - k and aq[i] < q_end - k:
+            bounds.append((int(ar[i]), int(aq[i])))
+            cut_idx.append(i)
+            last_r = int(ar[i])
+    bounds.append((r_end, q_end))
+    cut_idx.append(n)
+    out = []
+    for s in range(len(bounds) - 1):
+        r0, q0 = bounds[s]
+        r1, q1 = bounds[s + 1]
+        if r1 <= r0 or q1 <= q0:
+            return None  # degenerate cut: align whole span instead
+        j0, j1 = cut_idx[s], cut_idx[s + 1]
+        d = (ar[j0:j1] - r0) - (aq[j0:j1] - q0)
+        corner = (r1 - r0) - (q1 - q0)
+        if len(d):
+            ms = int(np.round(np.mean(d)))
+            bw = int(max(np.max(np.abs(d - ms)), abs(corner - ms), 1)) + band_extra
+        else:
+            ms = corner // 2
+            bw = abs(corner - ms) + band_extra
+        out.append((r0, r1, q0, q1, ms, bw))
+    return out
 
 
 def _prepare_chain_job(ref_seq, qry_seq, rc_qry, rid_name, qid_name, rlen, qlen, cr, cq, rel, p: MapperParams):
@@ -178,7 +228,14 @@ def _prepare_chain_job(ref_seq, qry_seq, rc_qry, rid_name, qid_name, rlen, qlen,
     diag = (cr - rs) - (cq - qs)
     ms = int(np.round(np.mean(diag)))
     bw = int(max(np.max(np.abs(diag - ms)), 1)) + p.band_extra
-    return _ChainJob(ref_seg, qry_seg, ms, bw, rid_name, qid_name, rlen, qlen, rs, qs, qe, rel)
+    segments = None
+    if len(ref_seg) > 2 * CHAIN_SEG:
+        segments = _split_span_at_anchors(
+            cr - rs, cq - qs, k, len(ref_seg), len(qry_seg), p.band_extra
+        )
+    return _ChainJob(
+        ref_seg, qry_seg, ms, bw, rid_name, qid_name, rlen, qlen, rs, qs, qe, rel, segments
+    )
 
 
 ZSPLIT_WINDOW = 100        # low-identity detector window (bp)
@@ -322,22 +379,43 @@ def _emit_alignment(job: _ChainJob, edit, a: int, b: int, q0: int, q_len: int) -
 
 def _align_chain_jobs(jobs: list, band_params: BandedAlignParams, aligner=None) -> list:
     """Base-level alignment of chain spans: batched on device when an aligner
-    with align_many is provided, host numpy stripe otherwise."""
+    with align_many is provided, host numpy stripe otherwise. Anchor-split
+    spans are flattened into per-piece jobs and the piece edits stitched
+    back (shift to span coordinates + concat) into one span edit."""
     from pangraph_tpu.align.map_variations import edits_from_aligned_pair
     from pangraph_tpu.align.params import BandParameters
+
+    flat = []  # (ref, qry, band) per piece
+    plan = []  # per span job: [(flat_slot, r0)] of its pieces
+    for j in jobs:
+        if j.segments:
+            entries = []
+            for r0, r1, q0, q1, ms, bw in j.segments:
+                entries.append((len(flat), r0))
+                flat.append((j.ref_seg[r0:r1], j.qry_seg[q0:q1], BandParameters(ms, bw)))
+            plan.append(entries)
+        else:
+            plan.append([(len(flat), 0)])
+            flat.append((j.ref_seg, j.qry_seg, BandParameters(j.mean_shift, j.band_width)))
 
     if aligner is not None and hasattr(aligner, "align_many"):
         from pangraph_tpu.ops.batch_align import AlignJob
 
-        return aligner.align_many(
-            [AlignJob(j.ref_seg, j.qry_seg, BandParameters(j.mean_shift, j.band_width)) for j in jobs]
-        )
+        flat_edits = aligner.align_many([AlignJob(r, q, b) for r, q, b in flat])
+    else:
+        flat_edits = []
+        for r, q, b in flat:
+            aln = align_banded(r, q, b.mean_shift, b.band_width, band_params)
+            if aln.hit_boundary:
+                aln = align_banded(r, q, b.mean_shift, 2 * b.band_width + 16, band_params)
+            flat_edits.append(edits_from_aligned_pair(aln.ref_aln, aln.qry_aln, len(r)))
+
     edits = []
-    for j in jobs:
-        aln = align_banded(j.ref_seg, j.qry_seg, j.mean_shift, j.band_width, band_params)
-        if aln.hit_boundary:
-            aln = align_banded(j.ref_seg, j.qry_seg, j.mean_shift, 2 * j.band_width + 16, band_params)
-        edits.append(edits_from_aligned_pair(aln.ref_aln, aln.qry_aln, len(j.ref_seg)))
+    for entries in plan:
+        edit = flat_edits[entries[0][0]].shift(entries[0][1]) if entries[0][1] else flat_edits[entries[0][0]]
+        for slot, r0 in entries[1:]:
+            edit = edit.concat(flat_edits[slot].shift(r0))
+        edits.append(edit)
     return edits
 
 

@@ -119,3 +119,52 @@ def test_constants_documented_invariants():
     assert 0.20 < ZSPLIT_MAX_SUBFRAC < 0.75
     assert ZSPLIT_MIN_KEEP == 100
     assert ZSPLIT_WINDOW == 100
+
+
+def test_anchor_split_stitched_alignment_applies_exactly():
+    """Anchor-split chain alignment (mapper.CHAIN_SEG pieces) must stitch to
+    an Edit that reproduces the query exactly — same oracle the roundtrip
+    relies on — and match the whole-span alignment's cell-count reduction."""
+    from pangraph_tpu.align import mapper as mp
+    from pangraph_tpu.align.params import BandedAlignParams
+    from pangraph_tpu.ops.batch_align import TpuBatchAligner
+
+    rng = np.random.default_rng(9)
+    L = 80_000
+    ref = ACGT[rng.integers(0, 4, L)]
+    qry = list(ref)
+    # ~0.5% subs + a few indels so the local diagonals drift
+    for p in rng.choice(L - 200, 12, replace=False):
+        q = int(p)
+        if rng.random() < 0.5:
+            del qry[q : q + int(rng.integers(1, 30))]
+        else:
+            qry[q:q] = list(ACGT[rng.integers(0, 4, int(rng.integers(1, 30)))])
+    qry = np.array(qry, np.uint8)
+    idx = rng.choice(len(qry), int(L * 0.005), replace=False)
+    qry[idx] = ACGT[(np.searchsorted(ACGT, qry[idx]) + rng.integers(1, 4, len(idx))) % 4]
+
+    params = mp.MapperParams()
+    from pangraph_tpu.align.minimizer import sketch
+
+    rmm = sketch(ref, params.k, params.w)
+    qmm = sketch(qry, params.k, params.w)
+    # anchors: exact shared minimizers, forward strand
+    common, ri, qi = np.intersect1d(rmm.values, qmm.values, return_indices=True)
+    cr = rmm.positions[ri]
+    cq = qmm.positions[qi]
+    order = np.argsort(cr)
+    cr, cq = cr[order], cq[order]
+    mono = np.concatenate(([True], np.diff(cq) > 0))
+    cr, cq = cr[mono], cq[mono]
+    job = mp._prepare_chain_job(
+        ref, qry, None, "r", "q", len(ref), len(qry), cr, cq, 0, params
+    )
+    assert job.segments is not None and len(job.segments) >= 3
+    # pieces' DP area must be far below the whole-span area
+    span_cells = len(job.ref_seg) * (2 * job.band_width + 2)
+    piece_cells = sum((r1 - r0) * (2 * bw + 2) for r0, r1, q0, q1, ms, bw in job.segments)
+    assert piece_cells < span_cells
+    al = TpuBatchAligner(BandedAlignParams())
+    (edit,) = mp._align_chain_jobs([job], BandedAlignParams(), al)
+    assert np.array_equal(edit.apply(job.ref_seg), job.qry_seg)
