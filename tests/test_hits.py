@@ -133,3 +133,41 @@ def test_sdust_enabled_mapper_still_correct():
     alns = map_all_vs_all({"a": base, "b": g2}, p)
     assert len(alns) >= 1
     assert max(a.matches for a in alns) > 2500
+
+
+def test_mid_occ_cutoff_minimap2_semantics():
+    """The occurrence cutoff must match mm_idx_cal_max_occ (index.c:186-206):
+    (1-f) k-smallest of per-distinct-minimizer counts, + 1, clamped below by
+    the floor — and repeat-flooded minimizers must be dropped from anchors."""
+    import numpy as np
+
+    from pangraph_tpu.align.mapper import MapperParams, build_index, collect_anchors
+    from pangraph_tpu.align.minimizer import sketch
+
+    rng = np.random.default_rng(21)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    repeat = ACGT[rng.integers(0, 4, 60)]
+    # one sequence flooded with a 60 bp repeat, one unique sequence
+    flooded = np.concatenate([np.tile(repeat, 400), ACGT[rng.integers(0, 4, 4000)]])
+    unique = ACGT[rng.integers(0, 4, 20000)]
+    # at this index size the default f=2e-4 tops out above the repeat's
+    # ~60 distinct k-mers; use f=1% so the cutoff bites (same formula)
+    p = MapperParams(mid_occ_frac=0.01)
+    idx = build_index([flooded, unique], ["flooded", "unique"], p)
+    # recompute the expected threshold from the sketch counts
+    vals = np.concatenate(
+        [sketch(flooded, p.k, p.w).values, sketch(unique, p.k, p.w).values]
+    )
+    _, counts = np.unique(vals, return_counts=True)
+    a = np.sort(counts)
+    want = max(int(a[min(int((1.0 - p.mid_occ_frac) * len(a)), len(a) - 1)]) + 1, p.max_occ_floor)
+    assert idx.max_occ == want
+    # the repeat k-mers occur ~400x: far above the cutoff, so anchors from a
+    # repeat-only query must be dropped entirely
+    qmm = sketch(np.tile(repeat, 50), p.k, p.w)
+    rid, rpos, qpos, rel = collect_anchors(idx, qmm, qid=2)
+    assert len(rid) == 0
+    # a unique-sequence query still anchors normally
+    qmm2 = sketch(unique[2000:12000], p.k, p.w)
+    rid2, *_ = collect_anchors(idx, qmm2, qid=2)
+    assert (rid2 == 1).sum() > 100
