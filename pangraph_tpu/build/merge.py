@@ -59,8 +59,8 @@ def solve_promises(promises: list, args, aligner=None) -> list:
         jobs, presolved = p.collect_jobs()
         presolved_list.append(presolved)
         job_lists.append(jobs)
-        for node_id, seq, band, hint in jobs:
-            all_jobs.append(AlignJob(p.anchor_block.consensus, seq, band, hint))
+        for node_id, seq, band, hint, segments in jobs:
+            all_jobs.append(AlignJob(p.anchor_block.consensus, seq, band, hint, segments))
             owners.append((pi, node_id))
     edits = aligner.align_many(all_jobs) if all_jobs else []
     results = [dict(pre) for pre in presolved_list]

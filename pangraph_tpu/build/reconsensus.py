@@ -107,12 +107,21 @@ def _realign_blocks_batched(graph: Pangraph, need_realignment: list, aligner) ->
         assert len(new_consensus) > 0, "Consensus cannot be empty"
         band = BandParameters.from_edits(maj, block.consensus_len())
         jobs = []
+        from pangraph_tpu.align.jobsplit import SEG, split_by_prior
+
         for nid, e in block.alignments.items():
             seq = e.apply(block.consensus)
             old_band = BandParameters.from_edits(e, block.consensus_len())
             upd = BandParameters(old_band.mean_shift - band.mean_shift, old_band.band_width + band.band_width)
+            # pin-split vs the prior structure: maj maps old->new consensus
+            # (the job ref), e maps old consensus -> seq (align/jobsplit.py)
+            segments = None
+            if block.consensus_len() > 2 * SEG:
+                segments = split_by_prior(
+                    maj, [e], block.consensus_len(), len(new_consensus), len(seq)
+                )
             jobs.append((nid, seq, upd))
-            all_jobs.append(AlignJob(new_consensus, seq, upd))
+            all_jobs.append(AlignJob(new_consensus, seq, upd, segments=segments))
             owners.append((bi, nid))
         prepared.append((bid, new_consensus, jobs))
     edits_list = aligner.align_many(all_jobs) if all_jobs else []

@@ -275,7 +275,17 @@ class MergePromise:
             hint = (
                 len(edits.dels) + len(edits.inss) + len(cigar_edits.dels) + len(cigar_edits.inss)
             )
-            jobs.append((node_id, seq, band, hint))
+            # pin-split long jobs at indel-free spots of the prior alignment
+            # (cigar: anchor->append; edits: append->seq) so each piece only
+            # bands for its local indels (align/jobsplit.py)
+            from pangraph_tpu.align.jobsplit import SEG, split_by_prior
+
+            segments = None
+            if anchor_len > 2 * SEG:
+                segments = split_by_prior(
+                    None, [cigar_edits, edits], anchor_len, anchor_len, len(seq)
+                )
+            jobs.append((node_id, seq, band, hint, segments))
         return jobs, presolved
 
     def finish(self, results: dict) -> Block:
@@ -295,16 +305,16 @@ class MergePromise:
         if jobs:
             if aligner is not None:
                 edits_list = aligner(
-                    self.anchor_block.consensus, [s for _, s, _, _ in jobs], [b for _, _, b, _ in jobs]
+                    self.anchor_block.consensus, [s for _, s, _, _, _ in jobs], [b for _, _, b, _, _ in jobs]
                 )
             else:
                 edits_list = [
                     map_variations(
                         self.anchor_block.consensus, seq, band, args.banded_params, args.extra_band_width
                     )
-                    for _, seq, band, _ in jobs
+                    for _, seq, band, _, _ in jobs
                 ]
-            for (node_id, _, _, _), e in zip(jobs, edits_list):
+            for (node_id, *_), e in zip(jobs, edits_list):
                 results[node_id] = e
         return self.finish(results)
 

@@ -389,19 +389,101 @@ def _help_markdown() -> str:
     return "\n".join(out)
 
 
+def _parser_tree():
+    """{(subcommand path): {flag: help}} introspected from the live parser —
+    completions can never drift from the CLI (the reference generates its
+    completions from the clap definition the same way, root_args.rs:125)."""
+    tree = {}
+
+    def walk(parser, path):
+        flags = {}
+        subs = {}
+        for a in parser._actions:
+            if isinstance(a, argparse._SubParsersAction):
+                for name, sp in a.choices.items():
+                    subs[name] = sp
+            else:
+                for s in a.option_strings:
+                    flags[s] = (a.help or "").replace("'", "").replace('"', "")
+        tree[path] = (flags, sorted(subs))
+        for name, sp in subs.items():
+            walk(sp, path + (name,))
+
+    walk(build_parser(), ())
+    return tree
+
+
 def _completions(shell: str) -> str:
-    cmds = "build export simplify reconstruct schema completions help-markdown merge"
+    tree = _parser_tree()
+
     if shell == "bash":
+        cases = []
+        for path, (flags, subs) in tree.items():
+            words = " ".join(sorted(flags) + subs)
+            key = " ".join(path) if path else "_root"
+            cases.append(f'    "{key}") words="{words}" ;;')
         return (
             "_pangraph_tpu() {\n"
-            '  local cur="${COMP_WORDS[COMP_CWORD]}"\n'
-            f'  COMPREPLY=( $(compgen -W "{cmds}" -- "$cur") )\n'
+            '  local cur="${COMP_WORDS[COMP_CWORD]}" words path=""\n'
+            "  local -a ctx=()\n"
+            '  for ((i=1; i<COMP_CWORD; i++)); do\n'
+            '    [[ "${COMP_WORDS[i]}" == -* ]] || ctx+=("${COMP_WORDS[i]}")\n'
+            "  done\n"
+            '  path="${ctx[*]:-_root}"\n'
+            '  case "$path" in\n' + "\n".join(cases) + "\n"
+            '    *) words="" ;;\n'
+            "  esac\n"
+            '  if [[ -n "$words" && ( "$cur" == -* || -n "${ctx[*]}" == "" ) ]]; then\n'
+            '    COMPREPLY=( $(compgen -W "$words" -- "$cur") )\n'
+            "  fi\n"
+            '  [[ ${#COMPREPLY[@]} -eq 0 ]] && COMPREPLY=( $(compgen -f -- "$cur") )\n'
             "}\n"
-            "complete -F _pangraph_tpu pangraph-tpu\n"
+            "complete -o filenames -F _pangraph_tpu pangraph-tpu\n"
         )
+
     if shell == "zsh":
-        return f"#compdef pangraph-tpu\n_arguments '1: :({cmds})'\n"
-    return f"complete -c pangraph-tpu -f -a '{cmds}'\n"
+        out = ["#compdef pangraph-tpu", "", "_pangraph_tpu() {"]
+        root_flags, root_subs = tree[()]
+        out.append("  local -a subcmds=(" + " ".join(root_subs) + ")")
+        out.append('  if (( CURRENT == 2 )); then')
+        out.append("    _describe 'command' subcmds")
+        flag_specs = " ".join(f"'{f}[{h}]'" for f, h in sorted(root_flags.items()))
+        out.append(f"    _arguments {flag_specs}")
+        out.append("    return")
+        out.append("  fi")
+        out.append('  case "$words[2]" in')
+        for path, (flags, subs) in tree.items():
+            if len(path) != 1:
+                continue
+            specs = " ".join(f"'{f}[{h}]'" for f, h in sorted(flags.items()))
+            sub2 = ""
+            if subs:
+                sub2 = f" '1: :({' '.join(subs)})'"
+            out.append(f"    {path[0]}) _arguments {specs}{sub2} '*:file:_files' ;;")
+        out.append("  esac")
+        out.append("}")
+        out.append("_pangraph_tpu")
+        return "\n".join(out) + "\n"
+
+    # fish
+    lines = []
+    _, root_subs = tree[()]
+    for name in root_subs:
+        lines.append(
+            f"complete -c pangraph-tpu -n '__fish_use_subcommand' -a {name}"
+        )
+    for path, (flags, subs) in tree.items():
+        if not path:
+            continue
+        cond = f"__fish_seen_subcommand_from {path[0]}"
+        for f, h in sorted(flags.items()):
+            if f.startswith("--"):
+                lines.append(f"complete -c pangraph-tpu -n '{cond}' -l {f[2:]} -d '{h}'")
+            elif f.startswith("-") and len(f) == 2:
+                lines.append(f"complete -c pangraph-tpu -n '{cond}' -s {f[1]} -d '{h}'")
+        for s in subs:
+            lines.append(f"complete -c pangraph-tpu -n '{cond}' -a {s}")
+    return "\n".join(lines) + "\n"
 
 
 if __name__ == "__main__":

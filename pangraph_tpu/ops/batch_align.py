@@ -27,6 +27,10 @@ class AlignJob:
     qry: np.ndarray
     band: BandParameters
     hint_events: int = 0  # expected indel event rows (sizes the event buffer)
+    # pin-split plan [(r0, r1, q0, q1, ms, bw)] from align/jobsplit.py: the
+    # job is aligned as independent pieces with local bands and the piece
+    # edits stitched back (shift + concat). None = align whole.
+    segments: list = None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -132,8 +136,36 @@ class TpuBatchAligner:
 
     def align_many(self, jobs: list) -> list:
         """jobs: list of AlignJob (or (ref, qry, band) tuples). Returns Edits
-        in job order."""
+        in job order. Jobs carrying a pin-split plan (AlignJob.segments) are
+        expanded into per-piece jobs and their piece edits stitched back."""
         jobs = [j if isinstance(j, AlignJob) else AlignJob(*j) for j in jobs]
+        if any(j.segments for j in jobs):
+            flat = []
+            plan = []
+            for j in jobs:
+                if j.segments:
+                    entries = []
+                    for r0, r1, q0, q1, ms, bw in j.segments:
+                        entries.append((len(flat), r0))
+                        flat.append(
+                            AlignJob(
+                                j.ref[r0:r1], j.qry[q0:q1], BandParameters(ms, bw),
+                                max(4, j.hint_events // len(j.segments)),
+                            )
+                        )
+                    plan.append(entries)
+                else:
+                    plan.append([(len(flat), 0)])
+                    flat.append(j)
+            flat_edits = self.align_many(flat)
+            out = []
+            for entries in plan:
+                slot0, off0 = entries[0]
+                edit = flat_edits[slot0].shift(off0) if off0 else flat_edits[slot0]
+                for slot, r0 in entries[1:]:
+                    edit = edit.concat(flat_edits[slot].shift(r0))
+                out.append(edit)
+            return out
         n = len(jobs)
         results = [None] * n
         # working band width / event-capacity multiplier per job

@@ -162,3 +162,22 @@ def test_schema_validates_graph(test_graph_path):
 
 def test_completions():
     assert run_cli(["completions", "bash"]) == 0
+
+
+def test_completions_cover_real_flags():
+    """Completions are generated from the live parser (clap-style): every
+    subcommand and its actual flags must appear; bash output must parse."""
+    import subprocess
+
+    from pangraph_tpu.cli import _completions
+
+    b = _completions("bash")
+    for word in ("build", "export", "simplify", "reconstruct", "schema",
+                 "--circular", "--guide-tree", "--minimum-depth", "--no-duplicated"):
+        assert word in b, word
+    r = subprocess.run(["bash", "-n", "/dev/stdin"], input=b, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    z = _completions("zsh")
+    assert "#compdef pangraph-tpu" in z and "--circular" in z
+    f = _completions("fish")
+    assert "__fish_seen_subcommand_from build" in f and "-l circular" in f

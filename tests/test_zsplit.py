@@ -168,3 +168,45 @@ def test_anchor_split_stitched_alignment_applies_exactly():
     al = TpuBatchAligner(BandedAlignParams())
     (edit,) = mp._align_chain_jobs([job], BandedAlignParams(), al)
     assert np.array_equal(edit.apply(job.ref_seg), job.qry_seg)
+
+
+def test_pin_split_realign_applies_exactly():
+    """Pin-split re-alignment (jobsplit.split_by_prior): a long job split at
+    indel-free pins of the prior edits must stitch to an Edit with
+    edit.apply(ref) == qry, matching the whole-job alignment oracle."""
+    from pangraph_tpu.align.jobsplit import split_by_prior
+    from pangraph_tpu.align.params import BandedAlignParams, BandParameters
+    from pangraph_tpu.graph.edits import Del as D, Edit as E, Ins as I
+    from pangraph_tpu.ops.batch_align import AlignJob, TpuBatchAligner
+
+    rng = np.random.default_rng(17)
+    L = 120_000
+    old = ACGT[rng.integers(0, 4, L)]
+    # maj: old -> ref (a few indels + subs); e: old -> qry
+    maj = E(
+        subs=_mutate(old, rng.choice(L, 60, replace=False)),
+        dels=[D(10_000, 7), D(70_123, 3)],
+        inss=[I(40_050, "ACGTAG")],
+    )
+    e = E(
+        subs=_mutate(old, rng.choice(L, 300, replace=False)),
+        dels=[D(25_777, 12), D(90_001, 2)],
+        inss=[I(55_500, "TTGA"), I(110_200, "C")],
+    )
+    ref = maj.apply(old)
+    qry = e.apply(old)
+    segs = split_by_prior(maj, [e], L, len(ref), len(qry))
+    assert segs is not None and len(segs) >= 5
+    # boundaries tile both sequences exactly
+    assert segs[0][0] == 0 and segs[-1][1] == len(ref)
+    assert segs[0][2] == 0 and segs[-1][3] == len(qry)
+    for a, b in zip(segs, segs[1:]):
+        assert a[1] == b[0] and a[3] == b[2]
+    # local bands are small (each piece holds at most a couple of indels)
+    assert max(bw for *_, bw in segs) < 50
+    al = TpuBatchAligner(BandedAlignParams())
+    (edit,) = al.align_many([AlignJob(ref, qry, BandParameters(0, 40), segments=segs)])
+    assert np.array_equal(edit.apply(ref), qry)
+    # and matches the unsplit alignment byte-for-byte on reconstruction
+    (whole,) = al.align_many([AlignJob(ref, qry, BandParameters(0, 40))])
+    assert np.array_equal(whole.apply(ref), qry)
