@@ -486,5 +486,30 @@ def _completions(shell: str) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _clean_exit(rc: int) -> int:
+    """A watchdogged device fetch leaves a daemon thread blocked inside the
+    PJRT client; C++ teardown can then abort the process AFTER the command
+    has finished and written all output. Skip interpreter teardown in that
+    case so the exit code reflects the command's actual outcome."""
+    try:
+        from pangraph_tpu.ops.batch_align import TpuBatchAligner
+
+        unhealthy = TpuBatchAligner.DEVICE_UNHEALTHY
+    except Exception:
+        unhealthy = False
+    if unhealthy:
+        sys.stdout.flush()
+        sys.stderr.flush()
+        import os
+
+        os._exit(rc or 0)
+    return rc
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_clean_exit(main()))
+
+
+def entry() -> int:
+    """Console-script entry point (same clean-exit guard as __main__)."""
+    return _clean_exit(main())
