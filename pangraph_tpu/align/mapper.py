@@ -74,6 +74,16 @@ class MinimizerIndex:
     names: list
     lengths: np.ndarray
     max_occ: int
+    # equal-value run of each entry (for the all-vs-all self-join: a query's
+    # matches are exactly its own entries' runs — the index contains every
+    # query, so no per-query searchsorted is needed)
+    run_start: np.ndarray = None  # int64 per entry
+    run_size: np.ndarray = None  # int64 per entry
+    sid_order: np.ndarray = None  # entry indices grouped by seq id
+    sid_bounds: np.ndarray = None  # group boundaries into sid_order
+
+    def entries_of(self, qi: int) -> np.ndarray:
+        return self.sid_order[self.sid_bounds[qi] : self.sid_bounds[qi + 1]]
 
 
 def build_index(seqs: list, names: list, p: MapperParams) -> MinimizerIndex:
@@ -111,7 +121,58 @@ def build_index(seqs: list, names: list, p: MapperParams) -> MinimizerIndex:
         max_occ = max(int(a[idx]) + 1, p.max_occ_floor)
     else:
         max_occ = p.max_occ_floor
-    return MinimizerIndex(values, seq_ids, positions, strands, list(names), lengths, max_occ)
+    # equal-value runs + per-sequence entry lists (self-join support)
+    n = len(values)
+    if n:
+        new_run = np.concatenate(([True], np.diff(values) != 0))
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        sizes = np.bincount(run_id)
+        run_start = starts[run_id]
+        run_size = sizes[run_id]
+        sid_order = np.argsort(seq_ids, kind="stable").astype(np.int64)
+        sid_bounds = np.searchsorted(seq_ids[sid_order], np.arange(len(names) + 1))
+    else:
+        run_start = run_size = np.zeros(0, dtype=np.int64)
+        sid_order = np.zeros(0, dtype=np.int64)
+        sid_bounds = np.zeros(len(names) + 1, dtype=np.int64)
+    return MinimizerIndex(
+        values, seq_ids, positions, strands, list(names), lengths, max_occ,
+        run_start, run_size, sid_order, sid_bounds,
+    )
+
+
+def collect_anchors_self(index: MinimizerIndex, qi: int):
+    """All-vs-all anchors for sequence qi via the index self-join: the query
+    IS in the index (same sketch), so its matches are exactly the other
+    entries of its own equal-value runs — no searchsorted, no re-sketch.
+    Applies the occurrence cutoff (run size <= max_occ) and -X semantics
+    (keep rid < qi only). Returns (rid, rpos, qpos, rel) like
+    collect_anchors; anchor ORDER differs but chaining lexsorts internally,
+    so downstream results are identical."""
+    e = index.entries_of(qi)
+    if len(e) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z.astype(np.int32), z, z, z.astype(np.uint8)
+    sz = index.run_size[e]
+    keep = (sz > 1) & (sz <= index.max_occ)
+    e = e[keep]
+    sz = index.run_size[e]
+    if len(e) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z.astype(np.int32), z, z, z.astype(np.uint8)
+    total = int(sz.sum())
+    rep = np.repeat(np.arange(len(e)), sz)
+    offs = np.arange(total) - np.repeat(np.cumsum(sz) - sz, sz)
+    flat = index.run_start[e][rep] + offs
+    rid = index.seq_ids[flat]
+    mask = rid < qi
+    flat, rep = flat[mask], rep[mask]
+    rid = rid[mask]
+    rpos = index.positions[flat]
+    qpos = index.positions[e][rep]
+    rel = (index.strands[flat] != index.strands[e][rep]).astype(np.uint8)
+    return rid, rpos, qpos, rel
 
 
 def collect_anchors(index: MinimizerIndex, qmm: Minimizers, qid: int):
@@ -450,18 +511,9 @@ def map_all_vs_all(
         jobs = []
         qname = names[qi]
         qseq = seqs[qi]
-        with trace.span("mapper.sketch"):
-            qmm = sketch(qseq, p.k, p.w)
-            if p.sdust_thres > 0:
-                from pangraph_tpu.align.hits import dust_mask, filter_minimizers_by_mask
-
-                keep = filter_minimizers_by_mask(qmm.positions, p.k, dust_mask(qseq, p.sdust_thres))
-                qmm = Minimizers(qmm.values[keep], qmm.positions[keep], qmm.strands[keep])
         with trace.span("mapper.anchors"):
-            rid, rpos, qpos, rel = collect_anchors(index, qmm, qi)
-            # -X: drop self hits and dual pairs (keep rid < qi only)
-            keep = rid < qi
-            rid, rpos, qpos, rel = rid[keep], rpos[keep], qpos[keep], rel[keep]
+            # -X all-vs-all via the index self-join (rid < qi built in)
+            rid, rpos, qpos, rel = collect_anchors_self(index, qi)
         if len(rid) == 0:
             return jobs
         qlen = len(qseq)

@@ -171,3 +171,38 @@ def test_mid_occ_cutoff_minimap2_semantics():
     qmm2 = sketch(unique[2000:12000], p.k, p.w)
     rid2, *_ = collect_anchors(idx, qmm2, qid=2)
     assert (rid2 == 1).sum() > 100
+
+
+def test_self_join_anchor_equivalence():
+    """collect_anchors_self must produce exactly the anchor set of the
+    legacy per-query lookup (order-insensitive; chaining lexsorts)."""
+    import numpy as np
+
+    from pangraph_tpu.align.mapper import (
+        MapperParams,
+        build_index,
+        collect_anchors,
+        collect_anchors_self,
+    )
+    from pangraph_tpu.align.minimizer import sketch
+
+    rng = np.random.default_rng(33)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    base = ACGT[rng.integers(0, 4, 30000)]
+    seqs = []
+    for i in range(4):
+        g = base.copy()
+        idx = rng.choice(len(g), 300, replace=False)
+        g[idx] = ACGT[rng.integers(0, 4, 300)]
+        if i == 2:
+            g[5000:9000] = g[5000:9000][::-1]  # scramble one segment
+        seqs.append(g)
+    p = MapperParams()
+    idx = build_index(seqs, [f"s{i}" for i in seqs and range(4)], p)
+    for qi in range(4):
+        qmm = sketch(seqs[qi], p.k, p.w)
+        rid0, rpos0, qpos0, rel0 = collect_anchors(idx, qmm, qi)
+        m = rid0 < qi
+        legacy = set(zip(rid0[m], rpos0[m], qpos0[m], rel0[m]))
+        rid1, rpos1, qpos1, rel1 = collect_anchors_self(idx, qi)
+        assert set(zip(rid1, rpos1, qpos1, rel1)) == legacy, qi
