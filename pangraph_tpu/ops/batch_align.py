@@ -268,13 +268,32 @@ class TpuBatchAligner:
 
     @classmethod
     def _device_kind(cls) -> str:
+        """Backend kind, resolved on a daemon thread with a timeout: backend
+        INITIALIZATION itself can hang on a stalled tunnel (observed r3:
+        a bench blocked inside the first jax.default_backend() with ~0 CPU).
+        On timeout the device is quarantined and the host path serves."""
         if cls._device_kind_cache is None:
-            try:
-                import jax
+            import threading
 
-                cls._device_kind_cache = jax.default_backend()
-            except Exception:  # no usable backend: the native path needs none
+            box = {}
+            done = threading.Event()
+
+            def probe():
+                try:
+                    import jax
+
+                    box["v"] = jax.default_backend()
+                except Exception:
+                    box["v"] = "cpu"
+                done.set()
+
+            threading.Thread(target=probe, daemon=True, name="backend-probe").start()
+            if not done.wait(float(os.environ.get("PANGRAPH_TPU_INIT_TIMEOUT", 120.0))):
+                log.warning("device backend initialization stalled: using the host aligner")
+                cls.DEVICE_UNHEALTHY = True
                 cls._device_kind_cache = "cpu"
+            else:
+                cls._device_kind_cache = box.get("v", "cpu")
         return cls._device_kind_cache
 
     STATS = []  # (kind, n_jobs, cells, seconds, ref_bp) when PANGRAPH_TPU_ALIGN_STATS=1
@@ -550,7 +569,41 @@ class TpuBatchAligner:
             fb_futs = {i: fb_pool.submit(self._host_fallback, jobs[i]) for i in fallback_idx}
 
         try:
-            return self._run_planned(jobs, planned, edits, boundary, overflow, fb_futs)
+            if not planned:
+                return self._run_planned(jobs, planned, edits, boundary, overflow, fb_futs)
+            # the WHOLE device round (dispatch-time compiles included) runs
+            # under the watchdog: dispatch can block inside a jit compile on
+            # a stalled tunnel where the fetch-level watchdog never starts.
+            # The threaded round gets COPIES of the result lists so a zombie
+            # round can never scribble over the host-rerun results.
+            cells = sum(m_pad * R_cap * B for _, _, m_pad, R_cap, B, _, _, _ in planned)
+            shapes = {(m_pad, R_cap, B, K, ck) for _, _, m_pad, R_cap, B, K, _, ck in planned}
+            cold = not shapes <= self._SHAPES_WARM
+            base = self.FETCH_TIMEOUT_COLD_S if cold else self.FETCH_TIMEOUT_S
+            try:
+                out = self._watchdog_call(
+                    lambda: self._run_planned(
+                        jobs, planned, list(edits), list(boundary), list(overflow), fb_futs
+                    ),
+                    base + 60.0 + cells / 1e8,
+                )
+                self._SHAPES_WARM.update(shapes)
+                return out
+            except _DeviceStall:
+                import concurrent.futures as _cf
+
+                with _cf.ThreadPoolExecutor(max_workers=2) as pool:
+                    futs = {
+                        i: pool.submit(self._host_fallback, jobs[i])
+                        for sub, *_ in planned
+                        for i in sub
+                    }
+                    for i, f in futs.items():
+                        edits[i] = f.result()
+                if fb_futs:
+                    for i, f in fb_futs.items():
+                        edits[i] = f.result()
+                return edits, boundary, overflow
         finally:
             # shut the fallback pool down on ALL paths (a raising device
             # dispatch must not leak the pool or its in-flight futures)
@@ -603,30 +656,8 @@ class TpuBatchAligner:
                     packed = _pack_v2(out)
                 launched.append((sub, K, packed))
 
-            cells = sum(m_pad * R_cap * B for _, _, m_pad, R_cap, B, _, _, _ in planned)
-            shapes = {(m_pad, R_cap, B, K, ck) for _, _, m_pad, R_cap, B, K, _, ck in planned}
-            cold = not shapes <= self._SHAPES_WARM
-            base = self.FETCH_TIMEOUT_COLD_S if cold else self.FETCH_TIMEOUT_S
             with trace.span("align.fetch"):
-                bufs = self._fetch_with_watchdog([p for _, _, p in launched], base + cells / 1e8)
-            self._SHAPES_WARM.update(shapes)
-        except _DeviceStall:
-            # the device round is gone; rerun every planned job on host and
-            # route all later rounds host-ward (DEVICE_UNHEALTHY is set)
-            import concurrent.futures as _cf
-
-            with _cf.ThreadPoolExecutor(max_workers=2) as pool:
-                futs = {
-                    i: pool.submit(self._host_fallback, jobs[i])
-                    for sub, *_ in planned
-                    for i in sub
-                }
-                for i, f in futs.items():
-                    edits[i] = f.result()
-            if fb_futs:
-                for i, f in fb_futs.items():
-                    edits[i] = f.result()
-            return edits, boundary, overflow
+                bufs = jax.device_get([p for _, _, p in launched])
         finally:
             if round_bytes:
                 self._mem_release(round_bytes)
@@ -657,36 +688,40 @@ class TpuBatchAligner:
                 edits[i] = f.result()
         return edits, boundary, overflow
 
-    def _fetch_with_watchdog(self, packed, timeout: float):
-        """device_get on a daemon thread with a stall watchdog. On timeout the
+    def _watchdog_call(self, fn, timeout: float):
+        """Run fn() on a daemon thread with a stall watchdog. On timeout the
         device is quarantined for the rest of the process (DEVICE_UNHEALTHY)
         and _DeviceStall is raised so the caller reruns the round on host.
-        The blocked fetch thread is daemonic: it cannot hang process exit."""
+        The blocked thread is daemonic: it cannot hang process exit."""
         import threading
-
-        import jax
 
         box = {}
         done = threading.Event()
 
         def run():
             try:
-                box["v"] = jax.device_get(packed)
+                box["v"] = fn()
             except BaseException as e:  # surfaced to the caller below
                 box["e"] = e
             done.set()
 
-        threading.Thread(target=run, daemon=True, name="align-fetch").start()
+        threading.Thread(target=run, daemon=True, name="align-round").start()
         if not done.wait(timeout):
             type(self).DEVICE_UNHEALTHY = True
             log.warning(
-                "device fetch stalled (> %.0f s): rerunning the round on the host "
+                "device round stalled (> %.0f s): rerunning it on the host "
                 "aligner and routing all later rounds host-ward", timeout,
             )
             raise _DeviceStall()
         if "e" in box:
             raise box["e"]
         return box["v"]
+
+    # kept for compatibility with older call sites/tests
+    def _fetch_with_watchdog(self, packed, timeout: float):
+        import jax
+
+        return self._watchdog_call(lambda: jax.device_get(packed), timeout)
 
     def _mem_acquire(self, nbytes: int) -> None:
         """Bound total outstanding paths bytes across threads (the parallel

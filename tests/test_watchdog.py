@@ -74,13 +74,14 @@ def test_stalled_round_reruns_on_host(monkeypatch):
     identical to the host aligner, and later rounds skip the device."""
     params = BandedAlignParams()
     al = TpuBatchAligner(params)
+    # the whole planned round (dispatch + fetch) stalls
     monkeypatch.setattr(
         TpuBatchAligner,
-        "_fetch_with_watchdog",
-        lambda self, packed, timeout: (_ for _ in ()).throw(_DeviceStall()),
+        "_run_planned",
+        lambda self, *a, **k: (_ for _ in ()).throw(_DeviceStall()),
     )
     # force jobs onto the device leg regardless of the latency budget, so the
-    # round goes dispatch -> (stalled) fetch -> host rerun inside _run_planned
+    # round goes plan -> (stalled) device round -> host rerun
     monkeypatch.setattr(TpuBatchAligner, "NATIVE_CELL_BUDGET", 0)
     jobs = _jobs()
     edits = al.align_many(jobs)
