@@ -123,7 +123,16 @@ def workload_report(records, dt, graph, align_stats=None):
     return rep
 
 
+def _enable_dump():
+    # SIGUSR1 dumps all thread stacks (diagnosing tunnel stalls)
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+
+
 def main():
+    _enable_dump()
     from pangraph_tpu.align.params import BuildArgs
     from pangraph_tpu.build.build import build
     from pangraph_tpu.io.fasta import read_fasta
