@@ -64,7 +64,10 @@ def chain_anchors(rpos: np.ndarray, qpos: np.ndarray, p: ChainParams):
     alpha = np.minimum(np.minimum(dq, dr), p.k)
     with np.errstate(divide="ignore"):
         log_dd = np.where(dd > 0, np.log2(np.maximum(dd, 1)).astype(np.int64), 0)
-    gap_cost = (dd * 0.01 * p.k).astype(np.int64) + (log_dd >> 1)
+    # integer formulation (dd*k//100) so host numpy, native C++ and the K2
+    # device kernel are bit-identical (float 0.01*dd*k truncation is
+    # platform-order-sensitive)
+    gap_cost = (dd * p.k) // 100 + (log_dd >> 1)
     contrib = np.where(ok, alpha - gap_cost, NEG)
 
     # sequential DP over anchors (window gather already precomputed)

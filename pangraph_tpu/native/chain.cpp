@@ -27,7 +27,6 @@ void chain_dp(
     int64_t* f,
     int64_t* parent)
 {
-    const double gap_scale = 0.01 * k;
     for (int64_t i = 0; i < n; i++) {
         int64_t best = k;
         int64_t best_j = -1;
@@ -44,7 +43,8 @@ void chain_dp(
             int64_t gap_cost = 0;
             if (dd > 0) {
                 int log2dd = 63 - __builtin_clzll((uint64_t)dd);
-                gap_cost = (int64_t)(dd * gap_scale) + (log2dd >> 1);
+                // integer formulation: identical across numpy / C++ / Pallas
+                gap_cost = (dd * k) / 100 + (log2dd >> 1);
             }
             const int64_t cand = f[j] + alpha - gap_cost;
             if (cand > best) { best = cand; best_j = j; }

@@ -282,7 +282,13 @@ class TpuBatchAligner:
                 try:
                     import jax
 
-                    box["v"] = jax.default_backend()
+                    kind = jax.default_backend()
+                    # exercise the DATA PATH too: init can succeed while
+                    # transfers hang (observed r3) — a tiny H2D+D2H round
+                    # trip catches that here, for the cost of ~1 ms on
+                    # healthy hardware, instead of a cold-round timeout
+                    np.asarray(jax.device_put(np.arange(16, dtype=np.int32)))
+                    box["v"] = kind
                 except Exception:
                     box["v"] = "cpu"
                 done.set()
