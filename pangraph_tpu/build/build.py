@@ -135,12 +135,9 @@ def build(records, args: BuildArgs, aligner=None, find_matches_override=None, pr
         from pangraph_tpu import native
         from pangraph_tpu.ops.batch_align import TpuBatchAligner
 
-        try:
-            import jax
-
-            backend = jax.default_backend()
-        except Exception:
-            backend = "cpu"
+        # guarded probe: backend init (or its data path) can hang on a
+        # stalled tunnel; _device_kind times out and quarantines instead
+        backend = TpuBatchAligner._device_kind()
         if backend == "tpu" or native.get_lib() is not None:
             aligner = TpuBatchAligner(
                 args.banded_params, args.extra_band_width, args.max_alignment_attempts

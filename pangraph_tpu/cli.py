@@ -216,18 +216,20 @@ def _cmd_build(args) -> int:
 
     aligner = None
     if not args.no_tpu:
-        try:
-            import jax
+        from pangraph_tpu.ops.batch_align import TpuBatchAligner
 
-            n_avail = len(jax.devices())  # probe: backend claim can fail transiently (tunnel)
-        except Exception as e:
+        # guarded probe (timed daemon thread + H2D/D2H round trip): backend
+        # claim can fail transiently AND hang indefinitely on the tunnel
+        if TpuBatchAligner._device_kind() == "cpu" or TpuBatchAligner.DEVICE_UNHEALTHY:
             import logging
 
             logging.getLogger(__name__).warning(
-                "no usable JAX backend (%s); falling back to the host aligner", e
+                "no usable accelerator backend; falling back to the host aligner"
             )
         else:
-            from pangraph_tpu.ops.batch_align import TpuBatchAligner
+            import jax
+
+            n_avail = len(jax.devices())  # safe: probe initialized the backend
 
             # multi-chip: shard every alignment batch over a 'jobs' device
             # mesh (the TPU analog of wiring the rayon pool into the entry
@@ -355,14 +357,12 @@ def _cmd_merge(args) -> int:
     build_args = BuildArgs(circular=args.circular)
     aligner = None
     try:
-        import jax
-
-        jax.devices()
         from pangraph_tpu.ops.batch_align import TpuBatchAligner
 
-        aligner = TpuBatchAligner(
-            build_args.banded_params, build_args.extra_band_width, build_args.max_alignment_attempts
-        )
+        if TpuBatchAligner._device_kind() != "cpu":
+            aligner = TpuBatchAligner(
+                build_args.banded_params, build_args.extra_band_width, build_args.max_alignment_attempts
+            )
     except Exception:
         pass
     graph = merge_graphs(left, right, build_args, make_find_matches(build_args, aligner), aligner)
