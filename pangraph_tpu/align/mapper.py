@@ -237,7 +237,11 @@ class _ChainJob:
 # Mbp span needs W >= its total diagonal drift, while each piece only needs
 # its local drift — and ~SEG-sized pieces batch onto the device kernel's
 # mid tiers instead of falling back to single-threaded host jobs.
-CHAIN_SEG = 16384
+# SEG is deliberately large: measured r3, splitting ~100 kb spans of the
+# 2%-divergent bench set degraded the merge trajectory (core fraction
+# 0.92 -> 0.87) and cost retries, while Mbp spans split at 64 kb keep full
+# quality and the 2x speedup — splitting is a long-span tool only.
+CHAIN_SEG = 65536
 
 
 def _split_span_at_anchors(ar, aq, k: int, r_end: int, q_end: int, band_extra: int, seg: int = CHAIN_SEG):
@@ -248,11 +252,26 @@ def _split_span_at_anchors(ar, aq, k: int, r_end: int, q_end: int, band_extra: i
     the DP corner at a cut is exact); each piece's band derives from its own
     anchors' diagonal spread plus the piece's corner offset."""
     n = len(ar)
+    # only anchors inside an exactly-colinear run (same diagonal as both
+    # neighbours) qualify as cut points: a stray off-diagonal anchor (repeat
+    # hit, or an anchor adjacent to an indel) would pin the DP through a
+    # suboptimal path and fragment the merge trajectory — measured on the
+    # 2%-divergent 12x120kb bench set, unrestricted cuts cost ~0.04 of core
+    # fraction.
+    d = ar - aq
+    colinear = np.zeros(n, dtype=bool)
+    if n >= 3:
+        colinear[1:-1] = (d[1:-1] == d[:-2]) & (d[1:-1] == d[2:])
     bounds = [(0, 0)]
     cut_idx = [0]
     last_r = 0
     for i in range(n):
-        if ar[i] - last_r >= seg and ar[i] < r_end - k and aq[i] < q_end - k:
+        if (
+            colinear[i]
+            and ar[i] - last_r >= seg
+            and ar[i] < r_end - k
+            and aq[i] < q_end - k
+        ):
             bounds.append((int(ar[i]), int(aq[i])))
             cut_idx.append(i)
             last_r = int(ar[i])

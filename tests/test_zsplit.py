@@ -130,11 +130,11 @@ def test_anchor_split_stitched_alignment_applies_exactly():
     from pangraph_tpu.ops.batch_align import TpuBatchAligner
 
     rng = np.random.default_rng(9)
-    L = 80_000
+    L = 300_000
     ref = ACGT[rng.integers(0, 4, L)]
     qry = list(ref)
     # ~0.5% subs + a few indels so the local diagonals drift
-    for p in rng.choice(L - 200, 12, replace=False):
+    for p in rng.choice(L - 200, 40, replace=False):
         q = int(p)
         if rng.random() < 0.5:
             del qry[q : q + int(rng.integers(1, 30))]
