@@ -168,10 +168,14 @@ def main():
 
     ec = workload_report(ecoli, ec_dt, ec_graph, ec_align)
     sy = workload_report(synth, sy_dt, sy_graph)
+    import os
+
     sy["host_scaling"] = {
         "jobs1_wall_s": round(sy1_dt, 2),
         "jobs6_wall_s": round(sy_dt, 2),
         "speedup": round(sy1_dt / sy_dt, 2),
+        # context: jobs > cores cannot speed the host stages further
+        "host_cores": os.cpu_count(),
     }
     print(
         json.dumps(
