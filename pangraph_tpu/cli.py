@@ -219,8 +219,10 @@ def _cmd_build(args) -> int:
         from pangraph_tpu.ops.batch_align import TpuBatchAligner
 
         # guarded probe (timed daemon thread + H2D/D2H round trip): backend
-        # claim can fail transiently AND hang indefinitely on the tunnel
-        if TpuBatchAligner._device_kind() == "cpu" or TpuBatchAligner.DEVICE_UNHEALTHY:
+        # claim can fail transiently AND hang indefinitely on the tunnel.
+        # A healthy cpu backend is still valid (virtual meshes, --devices).
+        TpuBatchAligner._device_kind()
+        if TpuBatchAligner.DEVICE_UNHEALTHY:
             import logging
 
             logging.getLogger(__name__).warning(
@@ -359,7 +361,8 @@ def _cmd_merge(args) -> int:
     try:
         from pangraph_tpu.ops.batch_align import TpuBatchAligner
 
-        if TpuBatchAligner._device_kind() != "cpu":
+        TpuBatchAligner._device_kind()  # guarded probe (may quarantine)
+        if not TpuBatchAligner.DEVICE_UNHEALTHY:
             aligner = TpuBatchAligner(
                 build_args.banded_params, build_args.extra_band_width, build_args.max_alignment_attempts
             )
