@@ -218,7 +218,62 @@ int align_one(
             __m512i carryG = NEUT;      // lane 15 feeds G[t-1] of block lane 0
             __m512i carryRun = NEUT;    // running prefix-max carry (all lanes)
 
+            // interior fast path: a 16-lane block whose k-range satisfies
+            // EVERY edge condition (diag/up/pose full, k>=2, j<Q, no first
+            // column, no free-terminal lane) needs no mask computation, no
+            // edge blends, and can emit no BOUND bits — that is most blocks
+            // of an interior row. Conditions collapse to a per-row k-range.
+            int64_t kf_lo = std::max(std::max(diag_lo, ge1_lo), (int64_t)2);
+            int64_t kf_hi = std::min(std::min(diag_hi, up_hi), pose_hi);
+            if (P.right_free) kf_hi = std::min(kf_hi, kQ);
+            kf_hi = std::min(kf_hi, w);
+
             for (int64_t k0 = 0; k0 < w; k0 += 16) {
+                if (k0 >= kf_lo && k0 + 16 <= kf_hi) {
+                    const __m512i H_old = _mm512_loadu_si512(Hrow + k0);
+                    const __m512i Hm1_old = _mm512_alignr_epi32(H_old, carryH, 15);
+                    const __m512i msub = _mm512_loadu_si512(msubRow + k0);
+                    const __m512i M = _mm512_add_epi32(Hm1_old, msub);
+
+                    const __m512i qg_old = _mm512_loadu_si512(QGrow + k0);
+                    const __m512i q_ext_val = _mm512_sub_epi32(qg_old, extv);
+                    const __m512i q_open_val = _mm512_sub_epi32(H_old, openv);
+                    const __mmask16 qea_m =
+                        _mm512_cmp_epi32_mask(q_ext_val, q_open_val, _MM_CMPINT_NLT);
+                    const __m512i QG = _mm512_mask_blend_epi32(qea_m, q_open_val, q_ext_val);
+                    _mm512_storeu_si512(QGrow + k0, QG);
+                    const __m512i NQ = _mm512_max_epi32(M, QG);
+
+                    const __m512i NQm1 = _mm512_alignr_epi32(NQ, carryNQ, 15);
+                    __m512i x = _mm512_sub_epi32(NQm1, gcv);
+                    x = prefix_max_epi32(x, NEUT);
+                    x = _mm512_max_epi32(x, carryRun);
+                    const __m512i G = x;
+                    const __m512i Gm1 = _mm512_alignr_epi32(G, carryG, 15);
+                    const __m512i Hm1m1 = _mm512_max_epi32(NQm1, Gm1);
+                    __mmask16 re_m = _mm512_cmp_epi32_mask(
+                        _mm512_sub_epi32(Gm1, extv), _mm512_sub_epi32(Hm1m1, gcv), _MM_CMPINT_NLT);
+                    re_m &= _mm512_cmpgt_epi32_mask(G, NEUT);
+
+                    const __mmask16 rsel = _mm512_cmpgt_epi32_mask(G, _mm512_sub_epi32(M, lav));
+                    const __m512i best = _mm512_mask_blend_epi32(rsel, M, G);
+                    const __mmask16 qsel = _mm512_cmpgt_epi32_mask(QG, _mm512_sub_epi32(best, lav));
+                    const __m512i H = _mm512_mask_blend_epi32(qsel, best, QG);
+                    _mm512_storeu_si512(Hst + k0, H);
+
+                    __m512i bits = vMATCH;
+                    bits = _mm512_mask_mov_epi32(bits, rsel, vREFG);
+                    bits = _mm512_mask_mov_epi32(bits, qsel, vQRYG);
+                    bits = _mm512_or_si512(bits, _mm512_maskz_mov_epi32(qea_m, vQRYX));
+                    bits = _mm512_or_si512(bits, _mm512_maskz_mov_epi32(re_m, vREFX));
+                    _mm_storeu_si128((__m128i*)(prow + k0), _mm512_cvtepi32_epi8(bits));
+
+                    carryH = H_old;
+                    carryNQ = NQ;
+                    carryG = G;
+                    carryRun = _mm512_permutexvar_epi32(lane15, G);
+                    continue;
+                }
                 const __mmask16 remm =
                     (w - k0 >= 16) ? (__mmask16)0xFFFF : (__mmask16)((1u << (w - k0)) - 1);
                 const __m512i kvec = _mm512_add_epi32(iota, _mm512_set1_epi32((int32_t)k0));
