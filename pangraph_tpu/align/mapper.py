@@ -109,18 +109,6 @@ def build_index(seqs: list, names: list, p: MapperParams) -> MinimizerIndex:
     strands = np.concatenate(strs) if strs else np.zeros(0, dtype=np.uint8)
     order = np.argsort(values, kind="stable")
     values, seq_ids, positions, strands = values[order], seq_ids[order], positions[order], strands[order]
-    # occurrence cutoff (mid_occ): drop the most frequent minimizers.
-    # Exactly minimap2's mm_idx_cal_max_occ semantics (index.c:186-206):
-    # the (1-f) k-smallest of the per-DISTINCT-minimizer occurrence counts,
-    # plus one; max_occ_floor mirrors minimap2's min_mid_occ clamp
-    # (options.c mm_mapopt_update).
-    if len(values):
-        _, counts = np.unique(values, return_counts=True)
-        a = np.sort(counts)
-        idx = min(int((1.0 - p.mid_occ_frac) * len(a)), len(a) - 1)
-        max_occ = max(int(a[idx]) + 1, p.max_occ_floor)
-    else:
-        max_occ = p.max_occ_floor
     # equal-value runs + per-sequence entry lists (self-join support)
     n = len(values)
     if n:
@@ -136,6 +124,18 @@ def build_index(seqs: list, names: list, p: MapperParams) -> MinimizerIndex:
         run_start = run_size = np.zeros(0, dtype=np.int64)
         sid_order = np.zeros(0, dtype=np.int64)
         sid_bounds = np.zeros(len(names) + 1, dtype=np.int64)
+    # occurrence cutoff (mid_occ): drop the most frequent minimizers.
+    # Exactly minimap2's mm_idx_cal_max_occ semantics (index.c:186-206):
+    # the (1-f) k-smallest of the per-DISTINCT-minimizer occurrence counts,
+    # plus one; max_occ_floor mirrors minimap2's min_mid_occ clamp
+    # (options.c mm_mapopt_update). The per-distinct counts are the run
+    # sizes of the sorted value array — no second sort (np.unique) needed.
+    if n:
+        a = np.sort(sizes)
+        idx = min(int((1.0 - p.mid_occ_frac) * len(a)), len(a) - 1)
+        max_occ = max(int(a[idx]) + 1, p.max_occ_floor)
+    else:
+        max_occ = p.max_occ_floor
     return MinimizerIndex(
         values, seq_ids, positions, strands, list(names), lengths, max_occ,
         run_start, run_size, sid_order, sid_bounds,

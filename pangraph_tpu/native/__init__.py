@@ -188,8 +188,11 @@ def stripe_align_batch_native(
     ms = np.ascontiguousarray(ms, dtype=np.int64)
     W = np.ascontiguousarray(W, dtype=np.int64)
     mask = np.ascontiguousarray(iupac_mask, dtype=np.uint8)
-    ops = np.zeros(n * ops_cap * 2, dtype=np.int32)
-    subs = np.zeros(n * subs_cap * 2, dtype=np.int64)
+    # np.empty, not zeros: these flat result buffers can be >100 MB per
+    # round and readers only consume [0:n_ops[j]] / [0:n_subs[j]] slices,
+    # all of which the C++ writes before returning
+    ops = np.empty(n * ops_cap * 2, dtype=np.int32)
+    subs = np.empty(n * subs_cap * 2, dtype=np.int64)
     n_ops = np.zeros(n, dtype=np.int64)
     n_subs = np.zeros(n, dtype=np.int64)
     lead_ins = np.zeros(n, dtype=np.int64)
