@@ -160,11 +160,31 @@ class TpuBatchAligner:
             flat_edits = self.align_many(flat)
             out = []
             for entries in plan:
-                slot0, off0 = entries[0]
-                edit = flat_edits[slot0].shift(off0) if off0 else flat_edits[slot0]
-                for slot, r0 in entries[1:]:
-                    edit = edit.concat(flat_edits[slot].shift(r0))
-                out.append(edit)
+                if len(entries) == 1 and entries[0][1] == 0:
+                    out.append(flat_edits[entries[0][0]])
+                    continue
+                # single-pass stitch == repeated shift+concat (Edit.concat
+                # semantics: insertions at one position merge left-first),
+                # without the per-piece intermediate Edits and list copies
+                subs, dels, inss = [], [], []
+                ins_at = {}
+                for slot, r0 in entries:
+                    e = flat_edits[slot]
+                    if r0:
+                        subs.extend(Sub(s.pos + r0, s.alt) for s in e.subs)
+                        dels.extend(Del(d.pos + r0, d.len) for d in e.dels)
+                    else:
+                        subs.extend(e.subs)
+                        dels.extend(e.dels)
+                    for i in e.inss:
+                        p = max(i.pos + r0, 0)
+                        k = ins_at.get(p)
+                        if k is None:
+                            ins_at[p] = len(inss)
+                            inss.append(Ins(p, i.seq) if r0 else i)
+                        else:
+                            inss[k] = Ins(p, inss[k].seq + i.seq)
+                out.append(Edit(subs=subs, dels=dels, inss=inss))
             return out
         n = len(jobs)
         results = [None] * n
