@@ -160,10 +160,17 @@ def mash_distance(seqs: list, k: int = 15, w: int = 100) -> np.ndarray:
     n = len(seqs)
     if n == 0:
         return np.zeros((0, 0))
+    # sketch in parallel: the native rolling sketch releases the GIL, and at
+    # chromosome scale this pass (~w=100 sketch of every input genome) is the
+    # whole cost of the guide tree
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(n, os.cpu_count() or 1)) as pool:
+        mms = list(pool.map(lambda s: sketch(as_seq(s), k, w), seqs))
     all_vals = []
     all_ids = []
-    for i, s in enumerate(seqs):
-        mm = sketch(as_seq(s), k, w)
+    for i, mm in enumerate(mms):
         if len(mm.values) == 0:
             raise ValueError(f"no minimizers found for sequence {i} during mash distance")
         all_vals.append(mm.values)
