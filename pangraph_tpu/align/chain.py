@@ -87,6 +87,18 @@ def chain_anchors(rpos: np.ndarray, qpos: np.ndarray, p: ChainParams):
 def _extract_chains(f, parent, order, p: ChainParams):
     """Chains by descending peak score with used-anchor masking."""
     n = len(f)
+    from pangraph_tpu.native import chain_extract_native
+
+    native = chain_extract_native(f, parent, p.min_score, p.min_anchors, p.max_chains)
+    if native is not None:
+        out_idx, out_len, out_score = native
+        chains, scores, at = [], [], 0
+        for c in range(len(out_len)):
+            ln = int(out_len[c])
+            chains.append(order[out_idx[at : at + ln]])
+            scores.append(int(out_score[c]))
+            at += ln
+        return chains, scores
     peaks = np.argsort(-f, kind="stable")
     used = np.zeros(n, dtype=bool)
     chains, scores = [], []

@@ -45,6 +45,7 @@ def _build_and_load(force_scalar: bool = False):
 
 def _bind(lib):
     lib.chain_dp.restype = None
+    lib.chain_extract.restype = ctypes.c_int64
     lib.backtrace_band.restype = ctypes.c_int
     lib.stripe_align_batch.restype = None
     lib.sketch_native.restype = ctypes.c_int64
@@ -107,6 +108,28 @@ def chain_dp_native(rpos: np.ndarray, qpos: np.ndarray, k: int, max_gap: int, bw
         parent.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return f, parent
+
+
+def chain_extract_native(f: np.ndarray, parent: np.ndarray, min_score: int, min_anchors: int, max_chains: int):
+    """Concatenated chains + lengths + scores via C++ peak-walk extraction;
+    None if native unavailable. Semantics match align/chain._extract_chains."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(f)
+    f = np.ascontiguousarray(f, dtype=np.int64)
+    parent = np.ascontiguousarray(parent, dtype=np.int64)
+    out_idx = np.empty(n, dtype=np.int64)
+    out_len = np.empty(max_chains, dtype=np.int64)
+    out_score = np.empty(max_chains, dtype=np.int64)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    n_chains = lib.chain_extract(
+        ctypes.c_int64(n),
+        f.ctypes.data_as(p_i64), parent.ctypes.data_as(p_i64),
+        ctypes.c_int64(min_score), ctypes.c_int64(min_anchors), ctypes.c_int64(max_chains),
+        out_idx.ctypes.data_as(p_i64), out_len.ctypes.data_as(p_i64), out_score.ctypes.data_as(p_i64),
+    )
+    return out_idx, out_len[:n_chains], out_score[:n_chains]
 
 
 def backtrace_band_native(paths: np.ndarray, ref: np.ndarray, qry: np.ndarray, ms: int, W: int, B: int, clamped: bool):

@@ -9,6 +9,7 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <vector>
 
 extern "C" {
 
@@ -52,6 +53,51 @@ void chain_dp(
         f[i] = best;
         parent[i] = best_j;
     }
+}
+
+// Chain extraction from the DP arrays: peaks by descending score (stable on
+// index for ties, matching np.argsort(-f, kind="stable")), parent-walk with
+// used-anchor masking. Chains shorter than min_anchors consume their anchors
+// but emit nothing (same as align/chain.py:_extract_chains). out_idx receives
+// the concatenated chains, each in ascending walk order; returns n_chains.
+int64_t chain_extract(
+    int64_t n,
+    const int64_t* f,
+    const int64_t* parent,
+    int64_t min_score,
+    int64_t min_anchors,
+    int64_t max_chains,
+    int64_t* out_idx,    // [n]
+    int64_t* out_len,    // [max_chains]
+    int64_t* out_score)  // [max_chains]
+{
+    std::vector<int64_t> peaks(n);
+    for (int64_t i = 0; i < n; i++) peaks[i] = i;
+    std::stable_sort(peaks.begin(), peaks.end(),
+                     [&](int64_t a, int64_t b) { return f[a] > f[b]; });
+    std::vector<uint8_t> used(n, 0);
+    int64_t n_chains = 0, w = 0;
+    for (int64_t pi = 0; pi < n && n_chains < max_chains; pi++) {
+        const int64_t i = peaks[pi];
+        if (used[i] || f[i] < min_score) continue;
+        const int64_t start = w;
+        int64_t j = i;
+        while (j >= 0 && !used[j]) {
+            out_idx[w++] = j;
+            used[j] = 1;
+            j = parent[j];
+        }
+        const int64_t len = w - start;
+        if (len < min_anchors) {
+            w = start;  // anchors stay used, chain not emitted
+            continue;
+        }
+        std::reverse(out_idx + start, out_idx + w);
+        out_len[n_chains] = len;
+        out_score[n_chains] = f[i];
+        n_chains++;
+    }
+    return n_chains;
 }
 
 // Banded traceback over int8 path bits (band-coordinate layout of

@@ -175,3 +175,58 @@ def test_sketch_cache_digest_keyed_lru():
         assert not np.array_equal(other.values, outs[-1].values)
     finally:
         mz._SKETCH_CACHE, mz._SKETCH_CACHE_MAX = old_cache, old_max
+
+
+def test_chain_extract_native_matches_python():
+    """C++ peak-walk chain extraction == the Python fallback, including
+    stable descending-peak order, used-anchor masking, and min_anchors
+    chains consuming their anchors without being emitted."""
+    from pangraph_tpu.align.chain import ChainParams, _extract_chains
+    from pangraph_tpu.native import chain_extract_native, get_lib
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    p = ChainParams(min_score=25, min_anchors=3, max_chains=5)
+    for trial in range(50):
+        n = int(rng.integers(1, 120))
+        f = rng.integers(0, 60, n).astype(np.int64)
+        parent = np.full(n, -1, dtype=np.int64)
+        for i in range(1, n):
+            if rng.random() < 0.7:
+                parent[i] = int(rng.integers(0, i))  # strictly earlier: acyclic
+        order = rng.permutation(n).astype(np.int64)
+
+        native = chain_extract_native(f, parent, p.min_score, p.min_anchors, p.max_chains)
+        out_idx, out_len, out_score = native
+        got_chains, got_scores, at = [], [], 0
+        for c in range(len(out_len)):
+            ln = int(out_len[c])
+            got_chains.append(order[out_idx[at : at + ln]])
+            got_scores.append(int(out_score[c]))
+            at += ln
+
+        # Python reference path (force the fallback by bypassing native)
+        peaks = np.argsort(-f, kind="stable")
+        used = np.zeros(n, dtype=bool)
+        want_chains, want_scores = [], []
+        for i in peaks:
+            if used[i] or f[i] < p.min_score:
+                continue
+            chain = []
+            j = int(i)
+            while j >= 0 and not used[j]:
+                chain.append(j)
+                used[j] = True
+                j = parent[j]
+            if len(chain) >= p.min_anchors:
+                want_chains.append(order[np.array(chain[::-1], dtype=np.int64)])
+                want_scores.append(int(f[i]))
+            if len(want_chains) >= p.max_chains:
+                break
+        assert got_scores == want_scores, trial
+        assert len(got_chains) == len(want_chains)
+        for a, b in zip(got_chains, want_chains):
+            assert np.array_equal(a, b), trial
