@@ -121,6 +121,9 @@ class TpuBatchAligner:
         self.max_attempts = max_attempts
         self.mesh = mesh
         self._sharded_cache = {}
+        # warm-round throughput estimates (cells/s EMA) for adaptive routing
+        self._host_rate = None
+        self._dev_rate = None
         import threading
 
         self._mem_lock = threading.Condition()
@@ -324,6 +327,18 @@ class TpuBatchAligner:
 
     STATS = []  # (kind, n_jobs, cells, seconds, ref_bp) when PANGRAPH_TPU_ALIGN_STATS=1
 
+    # rounds below this DP area are latency-dominated: not usable as
+    # throughput observations for the adaptive host/device split
+    RATE_MIN_CELLS = 50_000_000
+
+    def _observe_rate(self, which: str, cells: int, secs: float) -> None:
+        if cells < self.RATE_MIN_CELLS or secs <= 0:
+            return
+        obs = cells / secs
+        attr = "_host_rate" if which == "host" else "_dev_rate"
+        prev = getattr(self, attr)
+        setattr(self, attr, obs if prev is None else 0.5 * prev + 0.5 * obs)
+
     def _run_round(self, jobs: list, widths: list, kbumps: list = None):
         """Route each job of the round to host C++ or the device kernel.
 
@@ -358,6 +373,15 @@ class TpuBatchAligner:
 
         max_w_kernel = (self.MAX_B - 2) // 2
         cells = [self._job_cells(j, w) for j, w in zip(jobs, widths)]
+        # adaptive split: once both engines have measured warm rates, give
+        # the host the share that makes the overlapped round finish soonest
+        # (wall = total / (host_rate + dev_rate) when split proportionally).
+        # This keeps the build fast on hardware where the device link is
+        # slow-but-alive (the watchdog only covers full stalls): a slow
+        # device then serves a small share instead of gating every round.
+        if budget < (1 << 62) and self._host_rate and self._dev_rate:
+            share = self._host_rate / (self._host_rate + self._dev_rate)
+            budget = max(budget, int(sum(cells) * share))
         native_set = set()
         acc = 0
         for i in sorted(range(n), key=lambda i: cells[i]):
@@ -379,11 +403,26 @@ class TpuBatchAligner:
         edits = [None] * n
         boundary = [False] * n
         overflow = [False] * n
+        import time as _t
+
+        nat_cells = sum(cells[i] for i in nat_idx)
+        dev_cells = sum(cells[i] for i in dev_idx)
 
         def run_native():
+            tn = _t.time()
             e, b, _ = self._run_round_native([jobs[i] for i in nat_idx], [widths[i] for i in nat_idx])
+            self._observe_rate("host", nat_cells, _t.time() - tn)
             for s, i in enumerate(nat_idx):
                 edits[i], boundary[i] = e[s], b[s]
+
+        def run_device(d_jobs, d_widths, d_kbumps):
+            warm_before = len(self._SHAPES_WARM)
+            td = _t.time()
+            out = self._dispatch_device(d_jobs, d_widths, d_kbumps)
+            # rate observations only from warm rounds (no compile in the wall)
+            if len(self._SHAPES_WARM) == warm_before and not self.DEVICE_UNHEALTHY:
+                self._observe_rate("dev", dev_cells, _t.time() - td)
+            return out
 
         if dev_idx and nat_idx:
             # overlap: host C++ releases the GIL; device round mostly waits
@@ -391,7 +430,7 @@ class TpuBatchAligner:
 
             with _cf.ThreadPoolExecutor(max_workers=1) as pool:
                 fut = pool.submit(run_native)
-                e, b, o = self._dispatch_device(
+                e, b, o = run_device(
                     [jobs[i] for i in dev_idx], [widths[i] for i in dev_idx], [kbumps[i] for i in dev_idx]
                 )
                 fut.result()
@@ -400,7 +439,7 @@ class TpuBatchAligner:
         elif nat_idx:
             run_native()
         else:
-            e, b, o = self._dispatch_device(jobs, widths, kbumps)
+            e, b, o = run_device(jobs, widths, kbumps)
             edits, boundary, overflow = e, b, o
         if stats:
             self.STATS.append(

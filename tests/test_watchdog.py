@@ -109,3 +109,58 @@ def test_unhealthy_device_routes_all_to_host(monkeypatch):
     for j, e in zip(jobs, edits):
         want = map_variations(j.ref, j.qry, j.band, params, al.extra)
         assert e == want
+
+
+def test_adaptive_split_tracks_engine_rates(monkeypatch):
+    """With warm rate estimates for both engines, _run_round splits the
+    round's DP cells proportionally (host share = hr / (hr + dr)) so the
+    overlapped round finishes soonest — a slow-but-alive device serves a
+    small share instead of gating every round."""
+    from pangraph_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    params = BandedAlignParams()
+    al = TpuBatchAligner(params)
+    monkeypatch.setattr(TpuBatchAligner, "DEVICE_UNHEALTHY", False)
+    monkeypatch.setattr(TpuBatchAligner, "_device_kind_cache", "tpu")
+
+    seen = {}
+
+    def fake_device(self, jobs, widths, kbumps=None):
+        seen["dev"] = len(jobs)
+        return ([None] * len(jobs), [False] * len(jobs), [False] * len(jobs))
+
+    real_native = TpuBatchAligner._run_round_native
+
+    def spy_native(self, jobs, widths):
+        seen["host"] = len(jobs)
+        return real_native(self, jobs, widths)
+
+    monkeypatch.setattr(TpuBatchAligner, "_dispatch_device", fake_device)
+    monkeypatch.setattr(TpuBatchAligner, "_run_round_native", spy_native)
+
+    jobs = _jobs(n=12, seed=3)
+    cells_per_job = al._job_cells(jobs[0], jobs[0].band.band_width + al.extra)
+    # force the round beyond the latency budget so the split logic engages
+    monkeypatch.setattr(al, "NATIVE_CELL_BUDGET", cells_per_job)
+
+    # equal rates -> ~half the cells on host (latency floor adds one job)
+    al._host_rate = 1e9
+    al._dev_rate = 1e9
+    al._run_round(jobs, [j.band.band_width + al.extra for j in jobs])
+    assert 5 <= seen["host"] <= 7
+    assert seen["host"] + seen["dev"] == 12
+
+    # device 4x slower -> host takes ~4/5 of the round
+    al._host_rate = 1e9
+    al._dev_rate = 0.25e9
+    al._run_round(jobs, [j.band.band_width + al.extra for j in jobs])
+    assert seen["host"] >= 9
+
+    # EMA: small (latency-dominated) observations are ignored
+    before = al._host_rate
+    al._observe_rate("host", 1000, 0.5)
+    assert al._host_rate == before
+    al._observe_rate("host", TpuBatchAligner.RATE_MIN_CELLS, 1.0)
+    assert al._host_rate != before
