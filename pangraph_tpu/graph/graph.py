@@ -115,8 +115,10 @@ class Block:
         from pangraph_tpu.graph.edits import Del
 
         L = self.consensus_len()
+        if not any(e.dels for e in self.alignments.values()):
+            return []
         # difference-array coverage count over all deletion runs
-        diff = np.zeros(L + 1, dtype=np.int64)
+        diff = np.zeros(L + 1, dtype=np.int32)
         for e in self.alignments.values():
             for d in e.dels:
                 diff[d.pos] += 1
