@@ -115,22 +115,35 @@ class Block:
         from pangraph_tpu.graph.edits import Del
 
         L = self.consensus_len()
-        if not any(e.dels for e in self.alignments.values()):
-            return []
-        # difference-array coverage count over all deletion runs
-        diff = np.zeros(L + 1, dtype=np.int32)
+        starts, ends = [], []
         for e in self.alignments.values():
             for d in e.dels:
-                diff[d.pos] += 1
-                diff[min(d.end, L)] -= 1
-        cov = np.cumsum(diff[:L])
+                starts.append(d.pos)
+                ends.append(min(d.end, L))
+        if not starts:
+            return []
+        # endpoint sweep: coverage is piecewise-constant between deletion
+        # endpoints, so scan the O(K) distinct endpoints instead of a
+        # length-L difference array (blocks are Mbp-scale, K is small)
+        s = np.sort(np.array(starts, dtype=np.int64))
+        t = np.sort(np.array(ends, dtype=np.int64))
+        events = np.unique(np.concatenate([s, t]))
+        cov = np.searchsorted(s, events, side="right") - np.searchsorted(t, events, side="right")
         maj = cov > self.depth() // 2
         if not maj.any():
             return []
-        # maximal runs of majority-deleted positions
-        edges = np.flatnonzero(np.diff(np.concatenate([[0], maj.view(np.int8), [0]])))
-        starts, ends = edges[::2], edges[1::2]
-        return [Del(int(s), int(t - s)) for s, t in zip(starts, ends)]
+        out = []
+        cur_s = cur_e = None
+        for i in np.flatnonzero(maj):
+            a, b = int(events[i]), int(events[i + 1]) if i + 1 < len(events) else L
+            if cur_e == a:
+                cur_e = b
+            else:
+                if cur_s is not None:
+                    out.append(Del(cur_s, cur_e - cur_s))
+                cur_s, cur_e = a, b
+        out.append(Del(cur_s, cur_e - cur_s))
+        return out
 
     def find_majority_insertions(self) -> list:
         from collections import Counter

@@ -149,3 +149,47 @@ def test_remove_path():
     g.sanity_check()
     assert list(g.paths) == [1]
     assert len(g.blocks) == 1
+
+
+def test_find_majority_deletions_event_sweep_matches_dense():
+    """The O(K log K) endpoint sweep == the dense per-position coverage scan
+    on randomized deletion sets (incl. overlapping and block-end runs)."""
+    import numpy as np
+
+    from pangraph_tpu.graph.edits import Del, Edit
+
+    rng = np.random.default_rng(5)
+    for trial in range(60):
+        L = int(rng.integers(10, 300))
+        depth = int(rng.integers(1, 9))
+        aln = {}
+        for nid in range(depth):
+            dels, at = [], 0
+            while at < L and rng.random() < 0.7:
+                p = at + int(rng.integers(0, max(1, L // 3)))
+                ln = int(rng.integers(1, 12))
+                if p >= L:
+                    break
+                dels.append(Del(p, min(ln, L - p) if rng.random() < 0.8 else ln))
+                at = p + dels[-1].len + 1
+            aln[nid] = Edit(dels=dels)
+        block = Block(0, np.full(L, ord("A"), np.uint8), aln)
+        got = block.find_majority_deletions()
+
+        cov = np.zeros(L, np.int64)
+        for e in aln.values():
+            for d in e.dels:
+                cov[d.pos : min(d.end, L)] += 1
+        maj = cov > depth // 2
+        want = []
+        i = 0
+        while i < L:
+            if maj[i]:
+                j = i
+                while j < L and maj[j]:
+                    j += 1
+                want.append(Del(i, j - i))
+                i = j
+            else:
+                i += 1
+        assert got == want, (trial, got, want)
