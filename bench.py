@@ -161,7 +161,16 @@ def main():
     pl_dt, pl_graph, _ = timed_build(plasmids, args_p, aligner, repeats=3)
     sy_dt, sy_graph, _ = timed_build(synth, args_s, aligner, repeats=2)
     sc_dt, sc_graph, _ = timed_build(scale, args_c, aligner, repeats=2)
-    sy1_dt, _g, _ = timed_build(synth, BuildArgs(circular=True, jobs=1), aligner, repeats=1)
+    # host parallel efficiency: fully serial baseline (1 merge thread, 1 DP
+    # thread, 1 mapper thread) vs the parallel build above. On an N-core
+    # host the ideal speedup is N.
+    import os as _os
+
+    _os.environ["PANGRAPH_TPU_NATIVE_THREADS"] = "1"
+    try:
+        sy1_dt, _g, _ = timed_build(synth, BuildArgs(circular=True, jobs=1), aligner, repeats=1)
+    finally:
+        _os.environ.pop("PANGRAPH_TPU_NATIVE_THREADS", None)
     # the headline workload is too large to warm separately: single timed run
     # (its kernel tiers are warmed by the smaller workloads above)
     ec_dt, ec_graph, ec_align = timed_build(ecoli, args_c, aligner, repeats=1, stats=True)
@@ -171,10 +180,10 @@ def main():
     import os
 
     sy["host_scaling"] = {
-        "jobs1_wall_s": round(sy1_dt, 2),
-        "jobs6_wall_s": round(sy_dt, 2),
+        "serial_wall_s": round(sy1_dt, 2),  # 1 merge/DP/mapper thread
+        "parallel_wall_s": round(sy_dt, 2),
         "speedup": round(sy1_dt / sy_dt, 2),
-        # context: jobs > cores cannot speed the host stages further
+        # ideal speedup == host_cores (jobs > cores cannot help further)
         "host_cores": os.cpu_count(),
     }
     print(
