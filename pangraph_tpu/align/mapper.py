@@ -344,6 +344,14 @@ def _split_low_identity(edit, L: int):
     if L < 3 * w or n_subs < int(w * ZSPLIT_MAX_SUBFRAC):
         return [(0, L, edit, 0, None)]
     sub_pos = np.fromiter((s.pos for s in edit.subs), dtype=np.int64, count=n_subs)
+    # O(n_subs) pre-filter: a window with > T subs exists iff some T+1
+    # consecutive (sorted) sub positions fit within w — only then is the
+    # O(L) dense scan worth running (chain spans are Mbp-scale; clusters
+    # are rare: inversions / unalignable regions)
+    T = int(w * ZSPLIT_MAX_SUBFRAC)
+    sp = np.sort(sub_pos)
+    if n_subs <= T or not (sp[T:] - sp[:-T] < w).any():
+        return [(0, L, edit, 0, None)]
     cnt = np.bincount(sub_pos, minlength=L)
     c = np.concatenate(([0], np.cumsum(cnt)))
     dens = c[w:] - c[:-w]  # subs in window starting at i, i in [0, L-w]
