@@ -135,16 +135,35 @@ def extract_intervals(hits: list, block_length: int, thr_len: int) -> list:
 #  Block slicing                                                              #
 # --------------------------------------------------------------------------- #
 def slice_edits(i: PangraphInterval, ed: Edit, block_len: int) -> Edit:
-    # slice.rs:12-53
-    s0 = i.interval.start
-    subs = [Sub(s.pos - s0, s.alt) for s in ed.subs if i.contains(s.pos)]
+    # slice.rs:12-53. Membership tests vectorized: edits of Mbp-scale blocks
+    # hold ~1e4-1e5 elements and every interval of the partition scans them.
+    s0, e0 = i.interval.start, i.interval.end
+    subs = []
+    if ed.subs:
+        pos = np.fromiter((s.pos for s in ed.subs), np.int64, len(ed.subs))
+        for k in np.flatnonzero((pos >= s0) & (pos < e0)):
+            s = ed.subs[k]
+            subs.append(Sub(s.pos - s0, s.alt))
     dels = []
-    for d in ed.dels:
-        if i.has_overlap_with(Interval(d.pos, d.end)):
-            ns = max(d.pos, i.interval.start) - s0
-            ne = min(d.end, i.interval.end) - s0
+    if ed.dels:
+        dp = np.fromiter((d.pos for d in ed.dels), np.int64, len(ed.dels))
+        de = np.fromiter((d.end for d in ed.dels), np.int64, len(ed.dels))
+        # half-open overlap with [s0, e0)
+        for k in np.flatnonzero((dp < e0) & (de > s0)):
+            d = ed.dels[k]
+            ns = max(d.pos, s0) - s0
+            ne = min(d.end, e0) - s0
             dels.append(Del(ns, ne - ns))
-    inss = [Ins(x.pos - s0, x.seq) for x in ed.inss if i.insertion_overlap(x.pos, block_len)]
+    inss = []
+    if ed.inss:
+        ip = np.fromiter((x.pos for x in ed.inss), np.int64, len(ed.inss))
+        sel = (ip >= s0) & (ip < e0)
+        if e0 == block_len:
+            # right edge included at block end (pangraph_interval.rs:44-47)
+            sel |= ip == block_len
+        for k in np.flatnonzero(sel):
+            x = ed.inss[k]
+            inss.append(Ins(x.pos - s0, x.seq))
     return Edit(subs=subs, dels=dels, inss=inss)
 
 
@@ -175,19 +194,23 @@ def new_position_non_circular(old_position, node_coords, old_strand):
 
 def interval_node_coords(i: PangraphInterval, edits: Edit, block_len: int):
     # slice.rs:103-126: interval start/end projected into node coordinates
-    s, e = i.interval.start, i.interval.end
-    for d in edits.dels:
-        if d.pos <= i.interval.start:
-            s -= min(d.len + d.pos, i.interval.start) - d.pos
-        if d.pos < i.interval.end:
-            e -= min(d.len + d.pos, i.interval.end) - d.pos
-    for ins in edits.inss:
-        if ins.pos < i.interval.start:
-            s += len(ins.seq)
-        if ins.pos < i.interval.end:
-            e += len(ins.seq)
-        if ins.pos == i.interval.end and ins.pos == block_len:
-            e += len(ins.seq)
+    # (vectorized; per-element Python loops dominated reweave at Mbp scale)
+    st, en = i.interval.start, i.interval.end
+    s, e = st, en
+    if edits.dels:
+        dp = np.fromiter((d.pos for d in edits.dels), np.int64, len(edits.dels))
+        de = np.fromiter((d.end for d in edits.dels), np.int64, len(edits.dels))
+        sel = dp <= st
+        s -= int(np.sum(np.minimum(de[sel], st) - dp[sel]))
+        sel = dp < en
+        e -= int(np.sum(np.minimum(de[sel], en) - dp[sel]))
+    if edits.inss:
+        ip = np.fromiter((x.pos for x in edits.inss), np.int64, len(edits.inss))
+        il = np.fromiter((len(x.seq) for x in edits.inss), np.int64, len(edits.inss))
+        s += int(il[ip < st].sum())
+        e += int(il[ip < en].sum())
+        if en == block_len:
+            e += int(il[ip == block_len].sum())
     return s, e
 
 
