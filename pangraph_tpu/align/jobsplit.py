@@ -96,25 +96,31 @@ def split_by_prior(
     rmap = _EditMap(ref_map) if ref_map is not None else None
     qmaps = [_EditMap(m) for m in qry_maps]
 
-    # candidate pins near multiples of seg, snapped outward to a clean spot
+    # candidate pins near multiples of seg, snapped outward to a clean spot.
+    # One vectorized scan over the whole (target x offset) grid: the
+    # per-target loop cost ~10 numpy dispatches per candidate row and
+    # dominated promise planning at Mbp scale.
     targets = np.arange(seg, L_src - seg // 2, seg, dtype=np.int64)
-    offsets = np.concatenate([[0], np.repeat(np.arange(margin, SNAP, margin), 2) * np.tile([1, -1], (SNAP - margin) // margin)])
-    pins_src = []
-    for t in targets:
-        cand = t + offsets
-        cand = cand[(cand > 0) & (cand < L_src)]
-        ok = ~(rmap.dirty(cand, margin) if rmap is not None else np.zeros(len(cand), bool))
-        # each qry map's cleanliness is checked at its own source coords
-        pos = cand.copy()
-        for m in qmaps:
-            ok &= ~m.dirty(pos, margin)
-            pos = m.target_pos(pos)
-        good = np.flatnonzero(ok)
-        if len(good):
-            pins_src.append(int(cand[good[0]]))
-    if len(pins_src) < 1:
+    if len(targets) == 0:
         return None
-    pins_src = np.array(sorted(set(pins_src)), dtype=np.int64)
+    offsets = np.concatenate([[0], np.repeat(np.arange(margin, SNAP, margin), 2) * np.tile([1, -1], (SNAP - margin) // margin)])
+    cand = targets[:, None] + offsets[None, :]  # (T, O), offset preference order
+    flat = cand.ravel()
+    ok = ((flat > 0) & (flat < L_src))
+    if rmap is not None:
+        ok &= ~rmap.dirty(flat, margin)
+    # each qry map's cleanliness is checked at its own source coords
+    pos = flat
+    for m in qmaps:
+        ok &= ~m.dirty(pos, margin)
+        pos = m.target_pos(pos)
+    okm = ok.reshape(cand.shape)
+    has = okm.any(axis=1)
+    first = np.argmax(okm, axis=1)  # first clean offset per target
+    pins = cand[np.arange(len(targets)), first][has]
+    if len(pins) < 1:
+        return None
+    pins_src = np.unique(pins)
 
     r = rmap.target_pos(pins_src) if rmap is not None else pins_src.copy()
     q = pins_src.copy()
