@@ -78,14 +78,18 @@ def _edit_from_rle_hostmatch(ops, n_ops, subs, n_subs, lead_ins, qry) -> Edit:
     separated only by insertions merge into one Del, because stripping the
     ref-gap (insertion) columns makes them one contiguous query-gap run
     (insertions_strip.rs:47 + nuc_changes.rs:18)."""
-    out_subs = [Sub(int(subs[s, 0]), chr(int(subs[s, 1]))) for s in range(n_subs - 1, -1, -1)]
+    # bulk-convert via tolist(): per-element numpy scalar indexing is ~3x
+    # slower and this runs for every job of every round (~1M subs / build)
+    sp = subs[:n_subs, 0][::-1].tolist()
+    sa = subs[:n_subs, 1][::-1].tolist()
+    out_subs = [Sub(p, chr(a)) for p, a in zip(sp, sa)]
     dels, inss = [], []
     rpos = 0
     qpos = lead_ins
     if lead_ins:
         inss.append(Ins(0, bytes(qry[:lead_ins]).decode()))
-    for t in range(n_ops - 1, -1, -1):
-        op, length = int(ops[t, 0]), int(ops[t, 1])
+    op_list = ops[:n_ops, :][::-1].tolist()
+    for op, length in op_list:
         if op == 0:  # match
             rpos += length
             qpos += length
