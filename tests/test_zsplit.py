@@ -210,3 +210,48 @@ def test_pin_split_realign_applies_exactly():
     # and matches the unsplit alignment byte-for-byte on reconstruction
     (whole,) = al.align_many([AlignJob(ref, qry, BandParameters(0, 40))])
     assert np.array_equal(whole.apply(ref), qry)
+
+
+def test_graph_invariant_across_pin_split_plans():
+    """The split plan is an execution detail: the SAME graph (ids, blocks,
+    edits) must come out whether re-alignment jobs are cut into 8 kb or
+    16 kb pieces (r3 retune guard — a trajectory change here means the
+    stitch or band plan altered alignments)."""
+    import pangraph_tpu.align.jobsplit as js
+    from pangraph_tpu.align.params import BuildArgs
+    from pangraph_tpu.build.build import build, verify_roundtrip
+    from pangraph_tpu.io.fasta import FastaRecord
+
+    rng = np.random.default_rng(23)
+    L = 40_000
+    base = ACGT[rng.integers(0, 4, L)]
+    recs = []
+    for i in range(3):
+        g = base.copy()
+        idx = rng.choice(L, L // 150, replace=False)
+        g[idx] = ACGT[rng.integers(0, 4, len(idx))]
+        g = list(g)
+        for _ in range(4):
+            p = int(rng.integers(200, len(g) - 200))
+            if rng.random() < 0.5:
+                del g[p : p + int(rng.integers(1, 9))]
+            else:
+                g[p:p] = list(ACGT[rng.integers(0, 4, int(rng.integers(1, 9)))])
+        recs.append(FastaRecord(seq_name=f"g{i}", desc=None, seq=np.array(g, np.uint8), index=i))
+
+    args = BuildArgs(circular=False)
+    old_defaults = js.split_by_prior.__defaults__
+    graphs = []
+    try:
+        for seg in (8192, 16384):
+            js.split_by_prior.__defaults__ = (seg, js.MARGIN, 12)
+            g = build(recs, args)
+            verify_roundtrip(g, recs)
+            graphs.append(g)
+    finally:
+        js.split_by_prior.__defaults__ = old_defaults
+    a, b = graphs
+    assert sorted(a.blocks) == sorted(b.blocks)  # content-hashed ids
+    for bid in a.blocks:
+        assert np.array_equal(a.blocks[bid].consensus, b.blocks[bid].consensus)
+        assert a.blocks[bid].alignments == b.blocks[bid].alignments
