@@ -177,8 +177,11 @@ def mash_distance(seqs: list, k: int = 15, w: int = 100) -> np.ndarray:
         all_ids.append(np.full(len(mm.values), i, dtype=np.int64))
     vals = np.concatenate(all_vals)
     ids = np.concatenate(all_ids)
-    # distinct (value, id) pairs, grouped by value
-    order = np.lexsort((ids, vals))
+    # distinct (value, id) pairs, grouped by value. Entries are concatenated
+    # in ascending id order, so a STABLE single-key sort by value yields
+    # exactly lexsort((ids, vals)) at half the cost (46M entries at the
+    # 46 Mbp scale).
+    order = np.argsort(vals, kind="stable")
     vals, ids = vals[order], ids[order]
     keep = np.concatenate(([True], (np.diff(vals) != 0) | (np.diff(ids) != 0)))
     vals, ids = vals[keep], ids[keep]
