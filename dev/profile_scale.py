@@ -76,3 +76,10 @@ def main():
 
 if __name__ == "__main__":
     main()
+    # a stalled (watchdogged) probe thread makes C++ teardown abort after
+    # all output; skip teardown so the exit code reflects the run (bench.py
+    # does the same)
+    if TpuBatchAligner.DEVICE_UNHEALTHY:
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
