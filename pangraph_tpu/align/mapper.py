@@ -352,56 +352,82 @@ def _split_low_identity(edit, L: int):
     sp = np.sort(sub_pos)
     if n_subs <= T or not (sp[T:] - sp[:-T] < w).any():
         return [(0, L, edit, 0, None)]
-    cnt = np.bincount(sub_pos, minlength=L)
-    c = np.concatenate(([0], np.cumsum(cnt)))
-    dens = c[w:] - c[:-w]  # subs in window starting at i, i in [0, L-w]
-    bad_start = dens > int(w * ZSPLIT_MAX_SUBFRAC)
-    if not bad_start.any():
-        return [(0, L, edit, 0, None)]
-    # positions covered by any bad window
-    mark = np.zeros(L + 1, dtype=np.int64)
-    bs = np.flatnonzero(bad_start)
-    np.add.at(mark, bs, 1)
-    np.add.at(mark, bs + w, -1)
-    bad = np.cumsum(mark[:L]) > 0
-    good = ~bad
-    # good runs
-    d = np.diff(good.astype(np.int8))
-    starts = np.flatnonzero(d == 1) + 1
-    ends = np.flatnonzero(d == -1) + 1
-    if good[0]:
-        starts = np.concatenate(([0], starts))
-    if good[-1]:
-        ends = np.concatenate((ends, [L]))
-    # per-position query-offset bookkeeping
-    del_mask = np.zeros(L + 1, dtype=np.int64)
-    for dl in edit.dels:
-        del_mask[dl.pos] += 1
-        del_mask[min(dl.pos + dl.len, L)] -= 1
-    del_cum = np.concatenate(([0], np.cumsum(np.cumsum(del_mask[:L]) > 0)))  # deleted < i
-    ins_at = np.zeros(L + 1, dtype=np.int64)
-    for ins in edit.inss:
-        ins_at[ins.pos] += len(ins.seq)
-    ins_cum = np.concatenate(([0], np.cumsum(ins_at)))  # ins chars at pos <= i-1... see below
+    # Event-based bad-region construction, O(n_subs log n_subs) — the dense
+    # per-position scan cost O(L) per call and chain spans are Mbp-scale.
+    # A window start s is bad iff s in (sp[i+T]-w, sp[i]] for some i (then
+    # [s, s+w) holds subs i..i+T); the covered positions are the union of
+    # [max(0, sp[i+T]-w+1), min(sp[i], L-w) + w), which is sorted by
+    # construction (sp ascending), so one merge pass yields the bad runs.
+    lo = np.maximum(sp[T:] - w + 1, 0)
+    hi = np.minimum(sp[:-T], L - w)
+    sel = lo <= hi
+    lo, hi = lo[sel], hi[sel] + w  # covered: [lo, hi)
+    runs_b = []  # merged bad runs
+    cur_s, cur_e = int(lo[0]), int(hi[0])
+    for s0, e0 in zip(lo[1:].tolist(), hi[1:].tolist()):
+        if s0 <= cur_e:
+            cur_e = max(cur_e, e0)
+        else:
+            runs_b.append((cur_s, cur_e))
+            cur_s, cur_e = s0, e0
+    runs_b.append((cur_s, cur_e))
+    # good runs = complement of the bad runs within [0, L)
+    good_runs = []
+    prev = 0
+    for s0, e0 in runs_b:
+        if s0 > prev:
+            good_runs.append((prev, s0))
+        prev = e0
+    if prev < L:
+        good_runs.append((prev, L))
+
+    # sorted coordinate arrays for O(log E) slicing and query offsets
+    # (aligner output is position-sorted already; sorts are cheap no-ops
+    # then, and keep this correct for any Edit)
+    sp_sorted = sp
+    sub_order = np.argsort(sub_pos, kind="stable")
+    dels_sorted = sorted(edit.dels, key=lambda d: d.pos)
+    dp = np.fromiter((d.pos for d in dels_sorted), np.int64, len(dels_sorted))
+    de = np.minimum(
+        dp + np.fromiter((d.len for d in dels_sorted), np.int64, len(dels_sorted)), L
+    )
+    dcum = np.concatenate(([0], np.cumsum(de - dp)))
+    inss_sorted = sorted(edit.inss, key=lambda x: x.pos)
+    ip = np.fromiter((i.pos for i in inss_sorted), np.int64, len(inss_sorted))
+    il = np.fromiter((len(i.seq) for i in inss_sorted), np.int64, len(inss_sorted))
+    ilcum = np.concatenate(([0], np.cumsum(il)))
 
     def q_before(a: int) -> int:
         # query chars consumed before ref position a: matched/sub positions
-        # minus deletions, plus insertions at pos <= a (an Ins at pos a sits
-        # between ref[a-1] and ref[a])
-        return a - int(del_cum[a]) + int(ins_cum[a + 1])
+        # minus deleted positions < a, plus insertion chars at pos <= a (an
+        # Ins at pos a sits between ref[a-1] and ref[a]). Deletions are
+        # sorted and non-overlapping, so only the last one can straddle a.
+        j = int(np.searchsorted(dp, a))
+        deleted = int(dcum[j])
+        if j > 0:
+            deleted -= max(0, int(de[j - 1]) - a)
+        return a - deleted + int(ilcum[int(np.searchsorted(ip, a, side="right"))])
 
     out = []
-    for a, b in zip(starts, ends):
-        a, b = int(a), int(b)
+    for a, b in good_runs:
         if b - a < ZSPLIT_MIN_KEEP:
             continue
-        subs = [type(s)(s.pos - a, s.alt) for s in edit.subs if a <= s.pos < b]
+        s0i = int(np.searchsorted(sp_sorted, a))
+        s1i = int(np.searchsorted(sp_sorted, b))
+        subs = []
+        for k in sub_order[s0i:s1i]:
+            s = edit.subs[k]
+            subs.append(type(s)(s.pos - a, s.alt))
+        d0i = int(np.searchsorted(de, a, side="right"))
+        d1i = int(np.searchsorted(dp, b))
         dels = []
-        for dl in edit.dels:
-            s0, e0 = max(dl.pos, a), min(dl.pos + dl.len, b)
-            if e0 > s0:
-                dels.append(type(dl)(s0 - a, e0 - s0))
-        inss = [type(i)(i.pos - a, i.seq) for i in edit.inss if a < i.pos < b]
+        for k in range(d0i, d1i):
+            ns, ne = max(int(dp[k]), a), min(int(de[k]), b)
+            if ne > ns:
+                dels.append(type(dels_sorted[k])(ns - a, ne - ns))
+        i0i = int(np.searchsorted(ip, a, side="right"))
+        i1i = int(np.searchsorted(ip, b, side="left"))
+        inss = [type(x)(x.pos - a, x.seq) for x in inss_sorted[i0i:i1i]]
         q0 = q_before(a)
         q_len = (b - a) - sum(d.len for d in dels) + sum(len(i.seq) for i in inss)
         out.append((a, b, Edit(subs=subs, dels=dels, inss=inss), q0, q_len))

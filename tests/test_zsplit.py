@@ -255,3 +255,87 @@ def test_graph_invariant_across_pin_split_plans():
     for bid in a.blocks:
         assert np.array_equal(a.blocks[bid].consensus, b.blocks[bid].consensus)
         assert a.blocks[bid].alignments == b.blocks[bid].alignments
+
+
+def test_zsplit_event_sweep_matches_dense_reference():
+    """The O(n_subs) event-based bad-region construction in
+    _split_low_identity must reproduce the dense per-position window scan
+    exactly (intervals, sliced edits, query offsets/lengths)."""
+    from pangraph_tpu.align.mapper import (
+        ZSPLIT_MAX_SUBFRAC, ZSPLIT_MIN_KEEP, ZSPLIT_WINDOW, _split_low_identity,
+    )
+    from pangraph_tpu.graph.edits import Del, Edit, Ins, Sub
+
+    def dense(edit, L):
+        n_subs, w = len(edit.subs), ZSPLIT_WINDOW
+        if L < 3 * w or n_subs < int(w * ZSPLIT_MAX_SUBFRAC):
+            return [(0, L, edit, 0, None)]
+        sub_pos = np.fromiter((s.pos for s in edit.subs), np.int64, n_subs)
+        c = np.concatenate(([0], np.cumsum(np.bincount(sub_pos, minlength=L))))
+        bad_start = (c[w:] - c[:-w]) > int(w * ZSPLIT_MAX_SUBFRAC)
+        if not bad_start.any():
+            return [(0, L, edit, 0, None)]
+        mark = np.zeros(L + 1, np.int64)
+        bs = np.flatnonzero(bad_start)
+        np.add.at(mark, bs, 1)
+        np.add.at(mark, bs + w, -1)
+        good = ~(np.cumsum(mark[:L]) > 0)
+        d = np.diff(good.astype(np.int8))
+        starts = np.flatnonzero(d == 1) + 1
+        ends = np.flatnonzero(d == -1) + 1
+        if good[0]:
+            starts = np.concatenate(([0], starts))
+        if good[-1]:
+            ends = np.concatenate((ends, [L]))
+        del_mask = np.zeros(L + 1, np.int64)
+        for dl in edit.dels:
+            del_mask[dl.pos] += 1
+            del_mask[min(dl.pos + dl.len, L)] -= 1
+        del_cum = np.concatenate(([0], np.cumsum(np.cumsum(del_mask[:L]) > 0)))
+        ins_at = np.zeros(L + 1, np.int64)
+        for ins in edit.inss:
+            ins_at[ins.pos] += len(ins.seq)
+        ins_cum = np.concatenate(([0], np.cumsum(ins_at)))
+        out = []
+        for a, b in zip(starts, ends):
+            a, b = int(a), int(b)
+            if b - a < ZSPLIT_MIN_KEEP:
+                continue
+            subs = [Sub(s.pos - a, s.alt) for s in edit.subs if a <= s.pos < b]
+            dels = []
+            for dl in edit.dels:
+                s0, e0 = max(dl.pos, a), min(dl.pos + dl.len, b)
+                if e0 > s0:
+                    dels.append(Del(s0 - a, e0 - s0))
+            inss = [Ins(i.pos - a, i.seq) for i in edit.inss if a < i.pos < b]
+            q0 = a - int(del_cum[a]) + int(ins_cum[a + 1])
+            q_len = (b - a) - sum(d.len for d in dels) + sum(len(i.seq) for i in inss)
+            out.append((a, b, Edit(subs=subs, dels=dels, inss=inss), q0, q_len))
+        return out
+
+    rng = np.random.default_rng(31)
+    for trial in range(120):
+        L = int(rng.integers(300, 6000))
+        pos = set(rng.integers(0, L, int(rng.integers(0, L // 50 + 2))).tolist())
+        for _ in range(int(rng.integers(0, 3))):
+            c0 = int(rng.integers(0, max(1, L - 150)))
+            pos |= set((c0 + rng.integers(0, 140, int(rng.integers(40, 90)))).tolist())
+        subs = [Sub(int(p), "ACGT"[int(rng.integers(0, 4))]) for p in sorted(pos) if p < L]
+        dels, at = [], 0
+        while at < L - 20 and rng.random() < 0.6:
+            p = at + int(rng.integers(1, 200))
+            ln = int(rng.integers(1, 12))
+            if p + ln >= L:
+                break
+            dels.append(Del(p, ln))
+            at = p + ln + 1
+        inss = [
+            Ins(int(p), "ACGT"[: int(rng.integers(1, 5))])
+            for p in sorted(set(rng.integers(0, L + 1, int(rng.integers(0, 6))).tolist()))
+        ]
+        e = Edit(subs=subs, dels=dels, inss=inss)
+        got, want = _split_low_identity(e, L), dense(e, L)
+        assert len(got) == len(want), trial
+        for g, want_piece in zip(got, want):
+            assert g[0] == want_piece[0] and g[1] == want_piece[1], trial
+            assert g[2] == want_piece[2] and g[3] == want_piece[3] and g[4] == want_piece[4], trial
