@@ -171,9 +171,10 @@ def main():
         sy1_dt, _g, _ = timed_build(synth, BuildArgs(circular=True, jobs=1), aligner, repeats=1)
     finally:
         _os.environ.pop("PANGRAPH_TPU_NATIVE_THREADS", None)
-    # the headline workload is too large to warm separately: single timed run
-    # (its kernel tiers are warmed by the smaller workloads above)
-    ec_dt, ec_graph, ec_align = timed_build(ecoli, args_c, aligner, repeats=1, stats=True)
+    # the headline workload's kernel tiers are warmed by the smaller
+    # workloads above; best-of-2 because the VM's vCPU sees host-level
+    # steal (identical runs have measured 2x apart on this box)
+    ec_dt, ec_graph, ec_align = timed_build(ecoli, args_c, aligner, repeats=2, stats=True)
 
     ec = workload_report(ecoli, ec_dt, ec_graph, ec_align)
     sy = workload_report(synth, sy_dt, sy_graph)
