@@ -817,7 +817,14 @@ class TpuBatchAligner:
         import functools
 
         import jax
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map as _sm  # jax >= 0.8 (check_vma kwarg)
+
+            def shard_map(f, **kw):
+                kw["check_vma"] = kw.pop("check_rep")
+                return _sm(f, **kw)
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         from pangraph_tpu.ops.stripe_v2 import G, stripe_align_v2, stripe_align_v2_ckpt
