@@ -134,20 +134,30 @@ def extract_intervals(hits: list, block_length: int, thr_len: int) -> list:
 # --------------------------------------------------------------------------- #
 #  Block slicing                                                              #
 # --------------------------------------------------------------------------- #
-def slice_edits(i: PangraphInterval, ed: Edit, block_len: int) -> Edit:
+def _edit_arrays(ed: Edit):
+    """Per-edit coordinate arrays (sub pos, del pos/end, ins pos/len) —
+    built once per node and reused across every interval of a partition."""
+    return (
+        np.fromiter((s.pos for s in ed.subs), np.int64, len(ed.subs)),
+        np.fromiter((d.pos for d in ed.dels), np.int64, len(ed.dels)),
+        np.fromiter((d.end for d in ed.dels), np.int64, len(ed.dels)),
+        np.fromiter((x.pos for x in ed.inss), np.int64, len(ed.inss)),
+        np.fromiter((len(x.seq) for x in ed.inss), np.int64, len(ed.inss)),
+    )
+
+
+def slice_edits(i: PangraphInterval, ed: Edit, block_len: int, arrs=None) -> Edit:
     # slice.rs:12-53. Membership tests vectorized: edits of Mbp-scale blocks
     # hold ~1e4-1e5 elements and every interval of the partition scans them.
     s0, e0 = i.interval.start, i.interval.end
+    sp, dp, de, ip, _il = arrs if arrs is not None else _edit_arrays(ed)
     subs = []
     if ed.subs:
-        pos = np.fromiter((s.pos for s in ed.subs), np.int64, len(ed.subs))
-        for k in np.flatnonzero((pos >= s0) & (pos < e0)):
+        for k in np.flatnonzero((sp >= s0) & (sp < e0)):
             s = ed.subs[k]
             subs.append(Sub(s.pos - s0, s.alt))
     dels = []
     if ed.dels:
-        dp = np.fromiter((d.pos for d in ed.dels), np.int64, len(ed.dels))
-        de = np.fromiter((d.end for d in ed.dels), np.int64, len(ed.dels))
         # half-open overlap with [s0, e0)
         for k in np.flatnonzero((dp < e0) & (de > s0)):
             d = ed.dels[k]
@@ -156,7 +166,6 @@ def slice_edits(i: PangraphInterval, ed: Edit, block_len: int) -> Edit:
             dels.append(Del(ns, ne - ns))
     inss = []
     if ed.inss:
-        ip = np.fromiter((x.pos for x in ed.inss), np.int64, len(ed.inss))
         sel = (ip >= s0) & (ip < e0)
         if e0 == block_len:
             # right edge included at block end (pangraph_interval.rs:44-47)
@@ -192,21 +201,18 @@ def new_position_non_circular(old_position, node_coords, old_strand):
     return (old_e - ne, old_e - ns)
 
 
-def interval_node_coords(i: PangraphInterval, edits: Edit, block_len: int):
+def interval_node_coords(i: PangraphInterval, edits: Edit, block_len: int, arrs=None):
     # slice.rs:103-126: interval start/end projected into node coordinates
     # (vectorized; per-element Python loops dominated reweave at Mbp scale)
     st, en = i.interval.start, i.interval.end
     s, e = st, en
+    _sp, dp, de, ip, il = arrs if arrs is not None else _edit_arrays(edits)
     if edits.dels:
-        dp = np.fromiter((d.pos for d in edits.dels), np.int64, len(edits.dels))
-        de = np.fromiter((d.end for d in edits.dels), np.int64, len(edits.dels))
         sel = dp <= st
         s -= int(np.sum(np.minimum(de[sel], st) - dp[sel]))
         sel = dp < en
         e -= int(np.sum(np.minimum(de[sel], en) - dp[sel]))
     if edits.inss:
-        ip = np.fromiter((x.pos for x in edits.inss), np.int64, len(edits.inss))
-        il = np.fromiter((len(x.seq) for x in edits.inss), np.int64, len(edits.inss))
         s += int(il[ip < st].sum())
         e += int(il[ip < en].sum())
         if en == block_len:
@@ -214,14 +220,17 @@ def interval_node_coords(i: PangraphInterval, edits: Edit, block_len: int):
     return s, e
 
 
-def block_slice(b: Block, i: PangraphInterval, graph: Pangraph):
+def block_slice(b: Block, i: PangraphInterval, graph: Pangraph, arr_cache=None):
     """Slice one block to one interval. Returns (new_block,
-    {old_node_id: new Node or None-if-empty}) (slice.rs:136-200)."""
+    {old_node_id: new Node or None-if-empty}) (slice.rs:136-200). arr_cache
+    maps node id -> _edit_arrays(edit), shared across the intervals of one
+    partition so the coordinate arrays are built once per node."""
     new_consensus = b.consensus[i.interval.start : i.interval.end]
     block_len = b.consensus_len()
     node_updates = {}
     new_alignment = {}
     for old_nid, edits in b.alignments.items():
+        arrs = arr_cache.get(old_nid) if arr_cache is not None else None
         old_node = graph.nodes[old_nid]
         old_strand = old_node.strand
         if i.aligned:
@@ -229,13 +238,13 @@ def block_slice(b: Block, i: PangraphInterval, graph: Pangraph):
         else:
             strand = old_strand
         path = graph.paths[old_node.path_id]
-        coords = interval_node_coords(i, edits, block_len)
+        coords = interval_node_coords(i, edits, block_len, arrs=arrs)
         if path.circular:
             pos = new_position_circular(old_node.position, coords, path.tot_len, old_strand)
         else:
             pos = new_position_non_circular(old_node.position, coords, old_strand)
         new_node = Node.create(i.new_block_id, old_node.path_id, strand, pos)
-        new_edits = slice_edits(i, edits, block_len)
+        new_edits = slice_edits(i, edits, block_len, arrs=arrs)
         if new_edits.is_empty_alignment(new_consensus):
             node_updates[old_nid] = None
         else:
@@ -470,8 +479,9 @@ def split_block(bid: int, mergers: list, graph: Pangraph, thr_len: int):
     u = GraphUpdate(b_old_id=bid, b_new=[], n_new={nid: [] for nid in graph.blocks[bid].alignments})
     to_merge = []
     b = graph.blocks[bid]
+    arr_cache = {nid: _edit_arrays(e) for nid, e in b.alignments.items()}
     for itv in intervals:
-        b_slice, n_dict = block_slice(b, itv, graph)
+        b_slice, n_dict = block_slice(b, itv, graph, arr_cache=arr_cache)
         for old_nid, new_node in n_dict.items():
             if new_node is not None:
                 u.n_new[old_nid].append(new_node)
