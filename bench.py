@@ -214,7 +214,7 @@ def _exit(rc):
     Skip teardown in that case so the bench's exit code reflects the run."""
     from pangraph_tpu.ops.batch_align import TpuBatchAligner
 
-    if TpuBatchAligner.DEVICE_UNHEALTHY:
+    if TpuBatchAligner.DEVICE_EVER_STALLED:
         sys.stdout.flush()
         sys.stderr.flush()
         import os

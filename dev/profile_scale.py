@@ -79,7 +79,7 @@ if __name__ == "__main__":
     # a stalled (watchdogged) probe thread makes C++ teardown abort after
     # all output; skip teardown so the exit code reflects the run (bench.py
     # does the same)
-    if TpuBatchAligner.DEVICE_UNHEALTHY:
+    if TpuBatchAligner.DEVICE_EVER_STALLED:
         sys.stdout.flush()
         sys.stderr.flush()
         os._exit(0)

@@ -381,9 +381,11 @@ def _split_low_identity(edit, L: int):
     if prev < L:
         good_runs.append((prev, L))
 
-    # sorted coordinate arrays for O(log E) slicing and query offsets
-    # (aligner output is position-sorted already; sorts are cheap no-ops
-    # then, and keep this correct for any Edit)
+    # sorted coordinate arrays for O(log E) slicing and query offsets.
+    # Invariant: deletions must be NON-OVERLAPPING (q_before's single-straddle
+    # correction and the summed `de - dp` lengths both assume it) — aligner
+    # output satisfies this by construction (one DP path cannot delete the
+    # same ref position twice), and the sorts make position order irrelevant.
     sp_sorted = sp
     sub_order = np.argsort(sub_pos, kind="stable")
     dels_sorted = sorted(edit.dels, key=lambda d: d.pos)

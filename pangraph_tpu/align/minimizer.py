@@ -166,7 +166,10 @@ def mash_distance(seqs: list, k: int = 15, w: int = 100) -> np.ndarray:
     import os
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(n, os.cpu_count() or 1)) as pool:
+    # honor the same thread pin as the DP pool so a "fully serial" baseline
+    # (PANGRAPH_TPU_NATIVE_THREADS=1) really is serial end to end
+    n_workers = int(os.environ.get("PANGRAPH_TPU_NATIVE_THREADS", 0)) or (os.cpu_count() or 1)
+    with ThreadPoolExecutor(max_workers=min(n, n_workers)) as pool:
         mms = list(pool.map(lambda s: sketch(as_seq(s), k, w), seqs))
     all_vals = []
     all_ids = []

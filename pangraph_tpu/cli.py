@@ -497,7 +497,7 @@ def _clean_exit(rc: int) -> int:
     try:
         from pangraph_tpu.ops.batch_align import TpuBatchAligner
 
-        unhealthy = TpuBatchAligner.DEVICE_UNHEALTHY
+        unhealthy = TpuBatchAligner.DEVICE_EVER_STALLED
     except Exception:
         unhealthy = False
     if unhealthy:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading as _threading
 from dataclasses import dataclass
 
 import numpy as np
@@ -128,6 +129,10 @@ class TpuBatchAligner:
         # warm-round throughput estimates (cells/s EMA) for adaptive routing
         self._host_rate = None
         self._dev_rate = None
+        self._ckpt_rate = None  # ckpt-kernel cells/s EMA (Mbp-tier dispatch)
+        # adaptive rounds since the device rate was last observable (ADVICE
+        # r3: a starved device share can pin routing host-side forever)
+        self._dev_starved = 0
         import threading
 
         self._mem_lock = threading.Condition()
@@ -278,8 +283,126 @@ class TpuBatchAligner:
     # warm shapes get the short one.
     FETCH_TIMEOUT_S = float(os.environ.get("PANGRAPH_TPU_FETCH_TIMEOUT", 45.0))
     FETCH_TIMEOUT_COLD_S = float(os.environ.get("PANGRAPH_TPU_FETCH_TIMEOUT_COLD", 300.0))
+    # half-open quarantine: a stall flips DEVICE_UNHEALTHY and starts a
+    # backoff re-probe daemon; a successful tiny H2D+D2H round trip restores
+    # device routing (r3's policy latched permanently — one slow init probe
+    # at t=0 removed the TPU for an entire multi-hour build on this
+    # environment's known-flaky tunnel)
     DEVICE_UNHEALTHY = False  # class-level: flipped by the watchdog
+    DEVICE_EVER_STALLED = False  # sticky: exit-teardown guard (bench/CLI)
+    QUARANTINE_LOG: list = []  # (unix_t, event, detail) — persisted by bench
+    REPROBE_S = float(os.environ.get("PANGRAPH_TPU_REPROBE", 30.0))
+    _REPROBE_LOCK = _threading.Lock()
+    _REPROBE_WAKE = _threading.Event()
+    _reprobe_running = False
+    _ENGINE_LOCK = _threading.Lock()
     _SHAPES_WARM: set = set()  # kernel shapes fetched successfully before
+    # per-engine DP-cell accounting (always on; integers are cheap):
+    # engine -> [cells_total, warm_cells, warm_secs]. "warm" excludes rounds
+    # that compiled a new kernel shape, so warm_gcells_per_s is a real
+    # throughput, while cells_total answers "what fraction of DP ran where".
+    ENGINE = {"host": [0, 0, 0.0], "device": [0, 0, 0.0]}
+
+    @classmethod
+    def _engine_count(cls, engine: str, cells: int, warm_cells: int, warm_secs: float) -> None:
+        with cls._ENGINE_LOCK:
+            e = cls.ENGINE[engine]
+            e[0] += cells
+            e[1] += warm_cells
+            e[2] += warm_secs
+
+    @classmethod
+    def engine_report(cls) -> dict:
+        """Per-engine DP-cell fractions and warm throughput (bench receipts)."""
+        out = {}
+        for k, (c, wc, ws) in cls.ENGINE.items():
+            out[k] = {
+                "cells": int(c),
+                "warm_cells": int(wc),
+                "warm_secs": round(ws, 3),
+                "warm_gcells_per_s": round(wc / ws / 1e9, 3) if ws > 0 else None,
+            }
+        tot = sum(v[0] for v in cls.ENGINE.values())
+        out["device_cells_frac"] = round(cls.ENGINE["device"][0] / tot, 4) if tot else None
+        out["quarantine_log"] = list(cls.QUARANTINE_LOG)
+        return out
+
+    @classmethod
+    def reset_engine_stats(cls) -> None:
+        with cls._ENGINE_LOCK:
+            for e in cls.ENGINE.values():
+                e[0] = e[1] = 0
+                e[2] = 0.0
+            cls.QUARANTINE_LOG.clear()
+
+    @classmethod
+    def _quarantine(cls, reason: str) -> None:
+        import time as _t
+
+        cls.DEVICE_UNHEALTHY = True
+        cls.DEVICE_EVER_STALLED = True
+        cls.QUARANTINE_LOG.append((round(_t.time(), 1), "quarantine", reason))
+        with cls._REPROBE_LOCK:
+            if cls._reprobe_running:
+                # a loop thread exists (possibly mid-backoff-sleep from an
+                # earlier quarantine): wake it so the backoff restarts
+                cls._REPROBE_WAKE.set()
+                return
+            cls._reprobe_running = True
+        import threading
+
+        threading.Thread(target=cls._reprobe_loop, daemon=True, name="device-reprobe").start()
+
+    @classmethod
+    def _probe_link(cls, timeout: float):
+        """Tiny H2D+D2H round trip on a daemon thread. Returns the backend
+        kind, or None if the link stalled or errored within `timeout`."""
+        import threading
+
+        box = {}
+        done = threading.Event()
+
+        def probe():
+            try:
+                import jax
+
+                kind = jax.default_backend()
+                np.asarray(jax.device_put(np.arange(16, dtype=np.int32)))
+                box["v"] = kind
+            except Exception:
+                pass
+            done.set()
+
+        threading.Thread(target=probe, daemon=True, name="device-probe").start()
+        if not done.wait(timeout):
+            return None
+        return box.get("v")
+
+    @classmethod
+    def _reprobe_loop(cls) -> None:
+        import time as _t
+
+        delay = cls.REPROBE_S
+        try:
+            while cls.DEVICE_UNHEALTHY:
+                cls._REPROBE_WAKE.clear()
+                if cls._REPROBE_WAKE.wait(delay):
+                    # re-quarantined while sleeping: restart the backoff
+                    delay = cls.REPROBE_S
+                    continue
+                if not cls.DEVICE_UNHEALTHY:
+                    return
+                kind = cls._probe_link(timeout=15.0)
+                if kind is not None:
+                    cls._device_kind_cache = kind
+                    cls.DEVICE_UNHEALTHY = False
+                    cls.QUARANTINE_LOG.append((round(_t.time(), 1), "recovered", kind))
+                    log.warning("device link recovered: restoring device routing")
+                    return
+                delay = min(delay * 2, 300.0)
+        finally:
+            with cls._REPROBE_LOCK:
+                cls._reprobe_running = False
 
     @staticmethod
     def _job_cells(job: AlignJob, W: int) -> int:
@@ -300,33 +423,17 @@ class TpuBatchAligner:
         a bench blocked inside the first jax.default_backend() with ~0 CPU).
         On timeout the device is quarantined and the host path serves."""
         if cls._device_kind_cache is None:
-            import threading
-
-            box = {}
-            done = threading.Event()
-
-            def probe():
-                try:
-                    import jax
-
-                    kind = jax.default_backend()
-                    # exercise the DATA PATH too: init can succeed while
-                    # transfers hang (observed r3) — a tiny H2D+D2H round
-                    # trip catches that here, for the cost of ~1 ms on
-                    # healthy hardware, instead of a cold-round timeout
-                    np.asarray(jax.device_put(np.arange(16, dtype=np.int32)))
-                    box["v"] = kind
-                except Exception:
-                    box["v"] = "cpu"
-                done.set()
-
-            threading.Thread(target=probe, daemon=True, name="backend-probe").start()
-            if not done.wait(float(os.environ.get("PANGRAPH_TPU_INIT_TIMEOUT", 120.0))):
+            # the probe exercises the DATA PATH too: init can succeed while
+            # transfers hang (observed r3) — a tiny H2D+D2H round trip
+            # catches that here, for the cost of ~1 ms on healthy hardware,
+            # instead of a cold-round timeout
+            kind = cls._probe_link(float(os.environ.get("PANGRAPH_TPU_INIT_TIMEOUT", 120.0)))
+            if kind is None:
                 log.warning("device backend initialization stalled: using the host aligner")
-                cls.DEVICE_UNHEALTHY = True
+                cls._quarantine("backend initialization stalled")
                 cls._device_kind_cache = "cpu"
             else:
-                cls._device_kind_cache = box.get("v", "cpu")
+                cls._device_kind_cache = kind
         return cls._device_kind_cache
 
     STATS = []  # (kind, n_jobs, cells, seconds, ref_bp) when PANGRAPH_TPU_ALIGN_STATS=1
@@ -342,6 +449,20 @@ class TpuBatchAligner:
         attr = "_host_rate" if which == "host" else "_dev_rate"
         prev = getattr(self, attr)
         setattr(self, attr, obs if prev is None else 0.5 * prev + 0.5 * obs)
+        if which == "dev":
+            self._dev_starved = 0
+
+    def _ckpt_competitive(self) -> bool:
+        """Should an oversized (Mbp) tier ride the checkpointed kernel?
+        Yes when the device is believed healthy and the measured ckpt rate
+        beats the measured host rate; the first such round (no ckpt
+        observation yet) is the probe. Measured on v5e: ckpt 2.9-4.5
+        Gcells/s on-device vs 0.5-0.9 Gcells/s for 2 host cores."""
+        if self.DEVICE_UNHEALTHY or self._device_kind() != "tpu":
+            return False
+        if self._ckpt_rate is None:
+            return True
+        return self._ckpt_rate > (self._host_rate or 0.0)
 
     def _run_round(self, jobs: list, widths: list, kbumps: list = None):
         """Route each job of the round to host C++ or the device kernel.
@@ -386,6 +507,17 @@ class TpuBatchAligner:
         if budget < (1 << 62) and self._host_rate and self._dev_rate:
             share = self._host_rate / (self._host_rate + self._dev_rate)
             budget = max(budget, int(sum(cells) * share))
+            # anti-stickiness (ADVICE r3): a transient device slowdown can
+            # shrink the device share below RATE_MIN_CELLS, after which
+            # _dev_rate is never re-observed and routing cannot recover.
+            # After 8 such rounds, shrink the host share once so the device
+            # gets a rate-measurable probe round.
+            if sum(cells) >= 2 * self.RATE_MIN_CELLS:
+                if sum(cells) - budget < self.RATE_MIN_CELLS:
+                    self._dev_starved += 1
+                    if self._dev_starved >= 8:
+                        budget = min(budget, sum(cells) - self.RATE_MIN_CELLS)
+                        self._dev_starved = 0
         native_set = set()
         acc = 0
         for i in sorted(range(n), key=lambda i: cells[i]):
@@ -463,6 +595,10 @@ class TpuBatchAligner:
         rules as the host aligner; edits match map_variations exactly."""
         from pangraph_tpu.native import stripe_align_batch_native
 
+        import time as _t
+
+        t_eng = _t.time()
+        eng_cells = sum(self._job_cells(j, int(w)) for j, w in zip(jobs, widths))
         n = len(jobs)
         refs = [j.ref for j in jobs]
         qrys = [j.qry for j in jobs]
@@ -507,9 +643,10 @@ class TpuBatchAligner:
                 elif single is not None and int(single["status"][0]) == 1:
                     boundary[s] = True
                 else:
-                    edits[s] = self._host_fallback(jobs[s])
+                    edits[s] = self._host_fallback(jobs[s], count=False)
             else:  # paths over budget: numpy fallback
-                edits[s] = self._host_fallback(jobs[s])
+                edits[s] = self._host_fallback(jobs[s], count=False)
+        self._engine_count("host", eng_cells, eng_cells, _t.time() - t_eng)
         return edits, boundary, [False] * n
 
     def _run_round_v2(self, jobs: list, widths: list, kbumps: list):
@@ -552,8 +689,19 @@ class TpuBatchAligner:
         planned = []  # (sub, g_sz, m_pad, R_cap, B, K, bytes, ckpt)
         for (R_cap, B), idxs in groups.items():
             per_problem = R_cap * (B + 128) * 2  # int16 paths bytes
+            use_ckpt = per_problem > self.CKPT_PATHS_BYTES  # explicit opt-in
+            if not use_ckpt and 8 * per_problem > self.HBM_BUDGET // 2:
+                # the v2 kernel cannot hold even a minimum-size group of this
+                # tier in HBM. r3 sent these jobs to host unconditionally
+                # (a constant calibrated to one broken tunnel); decide
+                # adaptively instead: route through the checkpointed kernel
+                # when the measured ckpt rate beats the measured host rate
+                # (or no ckpt observation exists yet — the first round is the
+                # probe; the watchdog + half-open quarantine bound the cost
+                # of a stalled link).
+                use_ckpt = self._ckpt_competitive()
             ck = None
-            if per_problem > self.CKPT_PATHS_BYTES:
+            if use_ckpt:
                 # Mbp-scale tier: checkpointed DP + window re-derive walk —
                 # HBM holds window-start carries instead of full path records
                 try:
@@ -577,8 +725,11 @@ class TpuBatchAligner:
             while g_sz > 8 and g_sz * per_problem > self.V2_BYTES:
                 g_sz //= 2  # floor at one sublane tile: sub-tile kernels hang Mosaic
             # VMEM: the DP out block is (g, 128, B+128) int16, double-buffered;
-            # keep g*(B+128) under ~24k lanes or wide bands blow the 16 MB limit
-            while g_sz > 8 and g_sz * (B + 128) > 24576:
+            # keep g*(B+128) at or under 20480 lanes or wide bands blow the
+            # 16 MB scoped-VMEM limit (measured on v5e: 20480 lanes compiles,
+            # 24576 lanes OOMs at 16.55M scoped — g=64 x B=256 was a latent
+            # compile-time OOM under the old 24576 guard)
+            while g_sz > 8 and g_sz * (B + 128) > 20480:
                 g_sz //= 2
             # a single round may hold the whole budget alone (_mem_acquire
             # serializes larger-than-half grants); only reject groups that
@@ -649,14 +800,31 @@ class TpuBatchAligner:
             shapes = {(m_pad, R_cap, B, K, ck) for _, _, m_pad, R_cap, B, K, _, ck in planned}
             cold = not shapes <= self._SHAPES_WARM
             base = self.FETCH_TIMEOUT_COLD_S if cold else self.FETCH_TIMEOUT_S
+            # per-job (unpadded) device cells, for the engine receipts
+            dev_cells = sum(
+                self._job_cells(jobs[i], (B - 2) // 2)
+                for sub, _, _, _, B, _, _, _ in planned
+                for i in sub
+            )
+            all_ckpt = all(ck is not None for *_, ck in planned)
             try:
+                import time as _t
+
+                t_dev = _t.time()
                 out = self._watchdog_call(
                     lambda: self._run_planned(
                         jobs, planned, list(edits), list(boundary), list(overflow), fb_futs
                     ),
                     base + 60.0 + cells / 1e8,
                 )
+                dt_dev = _t.time() - t_dev
                 self._SHAPES_WARM.update(shapes)
+                self._engine_count(
+                    "device", dev_cells, 0 if cold else dev_cells, 0.0 if cold else dt_dev
+                )
+                if all_ckpt and not cold and dt_dev > 0 and dev_cells >= self.RATE_MIN_CELLS:
+                    obs = dev_cells / dt_dev
+                    self._ckpt_rate = obs if self._ckpt_rate is None else 0.5 * self._ckpt_rate + 0.5 * obs
                 return out
             except _DeviceStall:
                 import concurrent.futures as _cf
@@ -759,8 +927,9 @@ class TpuBatchAligner:
 
     def _watchdog_call(self, fn, timeout: float):
         """Run fn() on a daemon thread with a stall watchdog. On timeout the
-        device is quarantined for the rest of the process (DEVICE_UNHEALTHY)
-        and _DeviceStall is raised so the caller reruns the round on host.
+        device is quarantined (DEVICE_UNHEALTHY, half-open: a backoff
+        re-probe daemon restores routing if the link recovers) and
+        _DeviceStall is raised so the caller reruns the round on host.
         The blocked thread is daemonic: it cannot hang process exit."""
         import threading
 
@@ -776,7 +945,7 @@ class TpuBatchAligner:
 
         threading.Thread(target=run, daemon=True, name="align-round").start()
         if not done.wait(timeout):
-            type(self).DEVICE_UNHEALTHY = True
+            self._quarantine(f"device round stalled (> {timeout:.0f} s)")
             log.warning(
                 "device round stalled (> %.0f s): rerunning it on the host "
                 "aligner and routing all later rounds host-ward", timeout,
@@ -818,10 +987,18 @@ class TpuBatchAligner:
 
         import jax
         try:
-            from jax import shard_map as _sm  # jax >= 0.8 (check_vma kwarg)
+            import inspect
+
+            from jax import shard_map as _sm  # jax >= 0.8
+
+            # 0.8 renamed check_rep -> check_vma; inspect the signature so
+            # versions where jax.shard_map still takes check_rep keep working
+            _rep_kw = "check_rep" if "check_rep" in inspect.signature(_sm).parameters else "check_vma"
 
             def shard_map(f, **kw):
-                kw["check_vma"] = kw.pop("check_rep")
+                rep = kw.pop("check_rep", None)
+                if rep is not None:
+                    kw[_rep_kw] = rep
                 return _sm(f, **kw)
         except ImportError:  # pragma: no cover - older jax
             from jax.experimental.shard_map import shard_map
@@ -853,14 +1030,24 @@ class TpuBatchAligner:
             self._sharded_cache[key] = fn
         return fn(ref_seq, qry_seq, rlen, qlen, msv, Wv, gmax)
 
-    def _host_fallback(self, job: AlignJob) -> Edit:
-        with trace.span("align.host_fallback"):
-            edit = self._native_single(job)
-            if edit is not None:
-                return edit
-            from pangraph_tpu.align.map_variations import map_variations
+    def _host_fallback(self, job: AlignJob, count: bool = True) -> Edit:
+        import time as _t
 
-            return map_variations(job.ref, job.qry, job.band, self.params, self.extra)
+        t_eng = _t.time()
+        try:
+            with trace.span("align.host_fallback"):
+                edit = self._native_single(job)
+                if edit is not None:
+                    return edit
+                from pangraph_tpu.align.map_variations import map_variations
+
+                return map_variations(job.ref, job.qry, job.band, self.params, self.extra)
+        finally:
+            # count=False when the caller already accounted these cells
+            # (_run_round_native's internal overflow/budget fallbacks)
+            if count:
+                cells = self._job_cells(job, job.band.band_width + self.extra)
+                self._engine_count("host", cells, cells, _t.time() - t_eng)
 
     def _native_single(self, job: AlignJob) -> Edit:
         """Single-job native alignment with the host aligner's own retry loop

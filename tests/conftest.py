@@ -3,6 +3,9 @@ sharding/collective tests run without TPU hardware (see SURVEY.md §4)."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# keep the half-open quarantine re-probe inert during tests: a lingering
+# re-probe daemon from one test must not flip DEVICE_UNHEALTHY mid-test
+os.environ.setdefault("PANGRAPH_TPU_REPROBE", "3600")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -164,3 +164,59 @@ def test_adaptive_split_tracks_engine_rates(monkeypatch):
     assert al._host_rate == before
     al._observe_rate("host", TpuBatchAligner.RATE_MIN_CELLS, 1.0)
     assert al._host_rate != before
+
+
+def test_quarantine_is_half_open(monkeypatch):
+    """A quarantine starts the re-probe daemon; when the probe round trip
+    succeeds the device routing is restored and the event is logged
+    (VERDICT r3: the permanent latch removed the TPU for whole builds)."""
+    import time as _time
+
+    monkeypatch.setattr(TpuBatchAligner, "REPROBE_S", 0.05)
+    monkeypatch.setattr(TpuBatchAligner, "_probe_link", classmethod(lambda cls, timeout: "tpu"))
+    TpuBatchAligner.QUARANTINE_LOG.clear()
+    TpuBatchAligner._quarantine("test stall")
+    assert TpuBatchAligner.DEVICE_UNHEALTHY
+    assert TpuBatchAligner.DEVICE_EVER_STALLED
+    deadline = _time.time() + 5.0
+    while TpuBatchAligner.DEVICE_UNHEALTHY and _time.time() < deadline:
+        _time.sleep(0.01)
+    assert not TpuBatchAligner.DEVICE_UNHEALTHY, "re-probe did not restore routing"
+    assert TpuBatchAligner._device_kind_cache == "tpu"
+    events = [e[1] for e in TpuBatchAligner.QUARANTINE_LOG]
+    assert events == ["quarantine", "recovered"]
+
+
+def test_quarantine_stays_latched_while_link_is_down(monkeypatch):
+    """While the probe keeps failing, routing stays host-side."""
+    import time as _time
+
+    monkeypatch.setattr(TpuBatchAligner, "REPROBE_S", 0.02)
+    monkeypatch.setattr(TpuBatchAligner, "_probe_link", classmethod(lambda cls, timeout: None))
+    TpuBatchAligner.QUARANTINE_LOG.clear()
+    TpuBatchAligner._quarantine("test stall")
+    _time.sleep(0.3)
+    assert TpuBatchAligner.DEVICE_UNHEALTHY
+    # stop the loop before the next test
+    TpuBatchAligner.DEVICE_UNHEALTHY = False
+    _time.sleep(0.1)
+
+
+def test_engine_report_counts_host_cells():
+    """Per-engine DP-cell receipts: a host round must appear in the report
+    with a nonzero cell count and a fraction complement of the device's."""
+    from pangraph_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    params = BandedAlignParams()
+    al = TpuBatchAligner(params)
+    TpuBatchAligner.reset_engine_stats()
+    TpuBatchAligner.DEVICE_UNHEALTHY = True  # force host routing
+    jobs = _jobs(n=4, seed=3)
+    al.align_many(jobs)
+    rep = TpuBatchAligner.engine_report()
+    assert rep["host"]["cells"] > 0
+    assert rep["device"]["cells"] == 0
+    assert rep["device_cells_frac"] == 0.0
+    TpuBatchAligner.reset_engine_stats()
