@@ -79,3 +79,21 @@ def test_quality_chromosome_scale():
     q = _build_quality(records)
     assert q["compression"] >= 2.4, q
     assert q["core_fraction"] >= 0.6, q
+
+
+def test_quality_accessory_thousand_blocks():
+    """Accessory-genome synthetic at >=10^3 blocks (VERDICT r3 item 3): the
+    graph-bookkeeping layer (reweave interval assembly, reconsensus loops,
+    transitive-edge scan) must hold quality at realistic block counts, not
+    just the tens-of-blocks mutation-only sets. Measured r4 (seed 21,
+    n_seg=560): ~1050 blocks, core_fraction ~0.30, compression ~4.9."""
+    from pangraph_tpu.utils.synth import make_accessory_pangenome
+
+    records = make_accessory_pangenome(8, 1_000_000, seed=21, n_seg=560, core_frac_of_genome=0.45)
+    q = _build_quality(records)
+    assert q["n_blocks"] >= 1000, q
+    assert q["compression"] >= 4.0, q
+    assert 0.15 <= q["core_fraction"] <= 0.55, q
+    # core blocks exist and sit at full depth
+    assert q["n_core_blocks"] >= 300, q
+    assert q["block_depth_hist"].get(8, 0) >= q["n_core_blocks"]
