@@ -52,9 +52,11 @@ class BuildArgs:
     # checkpoint/resume directory: completed merge-tree subgraphs are written
     # here and restored on re-run (build/build.py MergeCheckpointer)
     checkpoint_dir: str = None
-    # cross-process coordination: workers sharing checkpoint_dir claim merges
-    # with O_EXCL markers and wait on each other's checkpoints (multi-host)
-    coordinate: bool = False
+    # cross-process coordination: True = workers sharing checkpoint_dir claim
+    # merges with O_EXCL markers and wait on each other's checkpoints;
+    # "tcp://HOST:PORT" = claims/subgraphs via the TCP coordination server
+    # (parallel/coordinator.py) — no shared filesystem needed
+    coordinate: "bool | str" = False
     aln_args: AlignmentArgs = field(default_factory=AlignmentArgs)
     banded_params: BandedAlignParams = field(default_factory=BandedAlignParams)
 

@@ -159,6 +159,13 @@ def build(records, args: BuildArgs, aligner=None, find_matches_override=None, pr
         return graphs[tree.data]
 
     ckpt = MergeCheckpointer(args.checkpoint_dir) if getattr(args, "checkpoint_dir", None) else None
+    coordinate_arg = getattr(args, "coordinate", False)
+    if isinstance(coordinate_arg, str) and coordinate_arg.startswith("tcp://"):
+        # TCP claim/exchange transport: same interface, no shared filesystem
+        # (an optional --checkpoint-dir is still written through for resume)
+        from pangraph_tpu.parallel.coordinator import TcpMergeCheckpointer
+
+        ckpt = TcpMergeCheckpointer(coordinate_arg, local=ckpt)
     # leaf clade data is the record index; map to names for checkpoint keys
     leaf_names = {}
     if ckpt is not None:
@@ -211,9 +218,13 @@ def build(records, args: BuildArgs, aligner=None, find_matches_override=None, pr
                 clade.data = graphs[clade.data]
                 continue
             coordinate = ckpt is not None and getattr(args, "coordinate", False)
-            if coordinate and not ckpt.try_claim(leaf_names[id(clade)]):
-                clade.data = ckpt.wait_for(leaf_names[id(clade)])
-            else:
+            claimed = not coordinate or ckpt.try_claim(leaf_names[id(clade)])
+            if not claimed:
+                try:
+                    clade.data = ckpt.wait_for(leaf_names[id(clade)])
+                except TimeoutError:
+                    claimed = True  # coordinator/peer gone: compute locally
+            if claimed:
                 left, right = clade.left.data, clade.right.data
                 log.info("merging graphs (%d + %d paths)", len(left.paths), len(right.paths))
                 clade.data = merge_graphs(left, right, args, find_matches, aligner)
@@ -281,9 +292,13 @@ def _merge_tree_parallel(
     coordinate = ckpt is not None and getattr(args, "coordinate", False)
 
     def run(c):
+        g = None
         if coordinate and not ckpt.try_claim(leaf_names[id(c)]):
-            g = ckpt.wait_for(leaf_names[id(c)])
-        else:
+            try:
+                g = ckpt.wait_for(leaf_names[id(c)])
+            except TimeoutError:
+                g = None  # coordinator/peer gone: compute locally below
+        if g is None:
             g = merge_graphs(c.left.data, c.right.data, args, find_matches, aligner)
             if ckpt is not None:
                 ckpt.save(leaf_names[id(c)], g)

@@ -48,8 +48,14 @@ def build_parser():
     )
     b.add_argument(
         "--coordinate",
-        action="store_true",
-        help="Claim merges via the checkpoint dir so multiple workers (hosts) can share one build",
+        nargs="?",
+        const=True,
+        default=False,
+        metavar="tcp://HOST:PORT",
+        help="Share one build across workers: bare flag claims merges via the "
+        "checkpoint dir (shared filesystem); with tcp://HOST:PORT, claims and "
+        "subgraphs go through a coordination server (first worker to bind "
+        "hosts it) — no shared filesystem needed",
     )
     b.add_argument("--no-tpu", action="store_true", help="Run alignment kernels on host instead of TPU")
     b.add_argument(

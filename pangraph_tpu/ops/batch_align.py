@@ -137,14 +137,6 @@ class TpuBatchAligner:
 
         self._mem_lock = threading.Condition()
         self._mem_outstanding = 0
-        # cross-merge coalescing: device rounds submitted by concurrent merge
-        # threads (the parallel merge-tree scheduler, build/build.py) are
-        # drained into ONE kernel batch by a dispatcher thread — without it
-        # the single chip serializes the merge threads' rounds and caps the
-        # host-scaling speedup at ~1.3x (Amdahl on the align fraction)
-        self._q_lock = threading.Condition()
-        self._q: list = []
-        self._dispatcher = None
 
     def align_many(self, jobs: list) -> list:
         """jobs: list of AlignJob (or (ref, qry, band) tuples). Returns Edits

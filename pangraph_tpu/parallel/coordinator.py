@@ -1,0 +1,265 @@
+"""TCP merge coordination: claim/exchange of merge-tree subgraphs without a
+shared filesystem (SURVEY.md §2.4 "DCN/host-network transfer of serialized
+subgraphs between merge-tree levels"; VERDICT r3 item 7).
+
+`--coordinate tcp://HOST:PORT` replaces the shared-FS claim files of
+`MergeCheckpointer` with a tiny in-memory coordination server: the first
+worker to bind HOST:PORT hosts it on a daemon thread (host 0); every other
+worker connects as a client. The client object exposes the same interface
+as `MergeCheckpointer` (fingerprint / try_claim / wait_for / load / save),
+so `build/build.py` uses it unchanged.
+
+Protocol: one short-lived connection per op; a 4-byte big-endian length,
+then a JSON header, then an optional raw payload (gzipped graph JSON).
+
+  claim {key, stale_s} -> {ok}        atomic claim; stale claims reassigned
+  put   {key, len}+payload -> {ok}    publish a merged subgraph; wakes waiters
+  get   {key} -> {len}+payload|{len:0}   non-blocking fetch
+  wait  {key, timeout_s} -> {len}+payload   blocks until published
+
+The hosting process registers an atexit drain: it will not tear the server
+down while another worker is still blocked in `wait` for a key that was (or
+is about to be) published, so the claimer of the final merge cannot exit
+before its peers have received the root graph.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import socket
+import struct
+import threading
+import time
+
+log = logging.getLogger(__name__)
+
+_HDR = struct.Struct(">I")
+
+
+def _send_msg(sock: socket.socket, header: dict, payload: bytes = b"") -> None:
+    raw = json.dumps(header).encode()
+    sock.sendall(_HDR.pack(len(raw)) + raw + payload)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("coordinator connection closed")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _recv_msg(sock: socket.socket):
+    (n,) = _HDR.unpack(_recv_exact(sock, _HDR.size))
+    header = json.loads(_recv_exact(sock, n).decode())
+    payload = _recv_exact(sock, header["len"]) if header.get("len") else b""
+    return header, payload
+
+
+class CoordinatorServer:
+    """In-memory claim/exchange state behind a threaded TCP accept loop."""
+
+    def __init__(self, host: str, port: int):
+        self._lock = threading.Condition()
+        self._claims: dict = {}  # key -> claim time
+        self._graphs: dict = {}  # key -> payload bytes
+        self._waiters = 0  # open `wait` connections (drain barrier)
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        # no SO_REUSEADDR: the bind is the host-0 election — exactly one
+        # worker may win it, a lingering TIME_WAIT must not elect two
+        self._sock.bind((host, port))
+        self._sock.listen(64)
+        self._sock.settimeout(0.5)
+        self._stop = False
+        threading.Thread(target=self._serve, daemon=True, name="merge-coordinator").start()
+        import atexit
+
+        atexit.register(self.drain)
+
+    def _serve(self) -> None:
+        while not self._stop:
+            try:
+                conn, _addr = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            threading.Thread(target=self._handle, args=(conn,), daemon=True).start()
+
+    def _handle(self, conn: socket.socket) -> None:
+        try:
+            with conn:
+                header, payload = _recv_msg(conn)
+                op, key = header["op"], header.get("key")
+                if op == "claim":
+                    with self._lock:
+                        t = self._claims.get(key)
+                        fresh = t is not None and time.time() - t <= header.get("stale_s", 3600.0)
+                        done = key in self._graphs
+                        ok = not fresh and not done
+                        if ok:
+                            self._claims[key] = time.time()
+                    _send_msg(conn, {"ok": ok})
+                elif op == "put":
+                    with self._lock:
+                        self._graphs[key] = payload
+                        self._lock.notify_all()
+                    _send_msg(conn, {"ok": True})
+                elif op == "get":
+                    data = self._graphs.get(key, b"")
+                    _send_msg(conn, {"len": len(data)}, data)
+                elif op == "wait":
+                    deadline = time.time() + header.get("timeout_s", 3600.0)
+                    with self._lock:
+                        self._waiters += 1
+                        try:
+                            while key not in self._graphs and time.time() < deadline:
+                                self._lock.wait(timeout=min(1.0, max(deadline - time.time(), 0.01)))
+                            data = self._graphs.get(key, b"")
+                        finally:
+                            self._waiters -= 1
+                            self._lock.notify_all()
+                    _send_msg(conn, {"len": len(data)}, data)
+                else:
+                    _send_msg(conn, {"error": f"unknown op {op!r}"})
+        except (ConnectionError, OSError):
+            pass
+
+    def drain(self, timeout_s: float = 60.0) -> None:
+        """Block process exit while peers are still waiting on published (or
+        imminently published) keys."""
+        deadline = time.time() + timeout_s
+        with self._lock:
+            while self._waiters > 0 and time.time() < deadline:
+                self._lock.wait(timeout=0.25)
+
+    def close(self) -> None:
+        self._stop = True
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+class TcpMergeCheckpointer:
+    """`MergeCheckpointer`-interface client over the coordination server.
+
+    The first constructor to bind the URL's port becomes host 0 and serves;
+    everyone else connects. An optional local (disk) MergeCheckpointer is
+    written through for persistence/resume."""
+
+    def __init__(self, url: str, local=None):
+        if not url.startswith("tcp://"):
+            raise ValueError(f"coordinate URL must be tcp://HOST:PORT, got {url!r}")
+        hostport = url[len("tcp://") :]
+        host, _, port_s = hostport.rpartition(":")
+        self.host, self.port = host or "127.0.0.1", int(port_s)
+        self.local = local
+        self.server = None
+        # a dead/vanished coordinator degrades to a SOLO build (claims
+        # succeed locally, nothing is exchanged): coordination is a
+        # work-sharing optimization, never a correctness dependency — a
+        # worker that joins after the host-0 worker already finished and
+        # exited must still complete on its own
+        self._dead = False
+        try:
+            self.server = CoordinatorServer(self.host, self.port)
+            log.info("hosting merge coordinator on %s:%d", self.host, self.port)
+        except OSError:
+            log.info("joining merge coordinator at %s:%d", self.host, self.port)
+
+    # same key scheme as the FS checkpointer
+    from pangraph_tpu.build.build import MergeCheckpointer as _FS  # noqa: PLC0415
+
+    fingerprint = staticmethod(_FS.fingerprint)
+
+    def _rpc(self, header: dict, payload: bytes = b"", timeout: float = None, retries: int = 100):
+        # ~30 s of connect retries: the host-0 winner may still be in backend
+        # probing / guide-tree construction when a faster peer first calls in
+        last = None
+        for _ in range(retries):
+            try:
+                with socket.create_connection((self.host, self.port), timeout=5.0) as sock:
+                    if timeout is not None:
+                        sock.settimeout(timeout)
+                    _send_msg(sock, header, payload)
+                    return _recv_msg(sock)
+            except (ConnectionError, OSError) as e:
+                last = e
+                time.sleep(0.3)  # the host-0 winner may still be starting up
+        raise ConnectionError(f"merge coordinator unreachable at {self.host}:{self.port}: {last}")
+
+    def _gone(self, err) -> None:
+        if not self._dead:
+            self._dead = True
+            log.warning("merge coordinator unreachable (%s): continuing as a solo build", err)
+
+    def try_claim(self, leaf_names, stale_s: float = 3600.0) -> bool:
+        if self._dead:
+            return True
+        try:
+            header, _ = self._rpc({"op": "claim", "key": self.fingerprint(leaf_names), "stale_s": stale_s})
+        except ConnectionError as e:
+            self._gone(e)
+            return True
+        return bool(header["ok"])
+
+    def save(self, leaf_names, graph) -> None:
+        if self.local is not None:
+            self.local.save(leaf_names, graph)
+        if self._dead:
+            return
+        import gzip
+        import io
+
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=1) as gz:
+            gz.write(graph.to_json().encode())
+        try:
+            self._rpc({"op": "put", "key": self.fingerprint(leaf_names), "len": buf.tell()}, buf.getvalue())
+        except ConnectionError as e:
+            self._gone(e)
+
+    def _from_payload(self, payload: bytes):
+        import gzip
+        import io
+
+        from pangraph_tpu.graph.graph import Pangraph
+
+        with gzip.GzipFile(fileobj=io.BytesIO(payload), mode="rb") as gz:
+            return Pangraph.from_json(gz.read().decode())
+
+    def load(self, leaf_names):
+        if self.local is not None:
+            g = self.local.load(leaf_names)
+            if g is not None:
+                return g
+        if self._dead:
+            return None
+        try:
+            header, payload = self._rpc({"op": "get", "key": self.fingerprint(leaf_names)})
+        except ConnectionError as e:
+            self._gone(e)
+            return None
+        return self._from_payload(payload) if header["len"] else None
+
+    def wait_for(self, leaf_names, poll_s: float = 0.25, timeout_s: float = None):
+        """Raises TimeoutError if the merge never arrives — including when
+        the coordinator itself vanishes mid-wait; the build-side caller
+        falls back to computing the merge locally then."""
+        t = timeout_s if timeout_s is not None else 3600.0
+        if self._dead:
+            raise TimeoutError("merge coordinator is gone")
+        try:
+            header, payload = self._rpc(
+                {"op": "wait", "key": self.fingerprint(leaf_names), "timeout_s": t},
+                timeout=t + 10.0, retries=3,
+            )
+        except ConnectionError as e:
+            self._gone(e)
+            raise TimeoutError("merge coordinator is gone") from e
+        if not header["len"]:
+            raise TimeoutError(f"timed out waiting for merge ({len(leaf_names)} leaves) via coordinator")
+        return self._from_payload(payload)
