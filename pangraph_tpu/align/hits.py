@@ -43,6 +43,9 @@ def select_hits(alns: list, mask_level: float = 0.5, pri_ratio: float = 0.8, bes
     for a in alns:
         by_q.setdefault(a.qry.name, []).append(a)
     keep = set()
+    secondary = set()  # tracked explicitly: records may carry stale quality
+    # values from a previous round's selection (the mapper's pair cache
+    # replays pre-selection records), so selection must not read a.quality
     for group in by_q.values():
         order = sorted(range(len(group)), key=lambda i: -group[i].matches)
         # primaries: [q_start, q_end, score, n_secondaries, best_sub_score]
@@ -66,11 +69,12 @@ def select_hits(alns: list, mask_level: float = 0.5, pri_ratio: float = 0.8, bes
                 if score >= pri_ratio * parent[2] and parent[3] < best_n:
                     parent[3] += 1
                     a.quality = 0
+                    secondary.add(id(a))
                     keep.add(id(a))
         # mapq for primaries (needs the final best_sub of each group)
         for i in order:
             a = group[i]
-            if id(a) not in keep or a.quality == 0:
+            if id(a) not in keep or id(a) in secondary:
                 continue
             for p in primaries:
                 if (p[0], p[1]) == (a.qry.interval.start, a.qry.interval.end) and p[2] == a.matches:

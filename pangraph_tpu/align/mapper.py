@@ -142,14 +142,18 @@ def build_index(seqs: list, names: list, p: MapperParams) -> MinimizerIndex:
     )
 
 
-def collect_anchors_self(index: MinimizerIndex, qi: int):
+def collect_anchors_self(index: MinimizerIndex, qi: int, skip_unchanged: np.ndarray = None):
     """All-vs-all anchors for sequence qi via the index self-join: the query
     IS in the index (same sketch), so its matches are exactly the other
     entries of its own equal-value runs — no searchsorted, no re-sketch.
     Applies the occurrence cutoff (run size <= max_occ) and -X semantics
     (keep rid < qi only). Returns (rid, rpos, qpos, rel) like
     collect_anchors; anchor ORDER differs but chaining lexsorts internally,
-    so downstream results are identical."""
+    so downstream results are identical.
+
+    skip_unchanged (bool per seq id): pairs where BOTH sides are marked are
+    dropped — their alignments are served from the round-over-round pair
+    cache (map_all_vs_all's pair_cache) instead of being recomputed."""
     e = index.entries_of(qi)
     if len(e) == 0:
         z = np.zeros(0, dtype=np.int64)
@@ -167,6 +171,8 @@ def collect_anchors_self(index: MinimizerIndex, qi: int):
     flat = index.run_start[e][rep] + offs
     rid = index.seq_ids[flat]
     mask = rid < qi
+    if skip_unchanged is not None and skip_unchanged[qi]:
+        mask &= ~skip_unchanged[rid]
     flat, rep = flat[mask], rep[mask]
     rid = rid[mask]
     rpos = index.positions[flat]
@@ -539,7 +545,7 @@ def _align_chain_jobs(jobs: list, band_params: BandedAlignParams, aligner=None) 
 
 def map_all_vs_all(
     seqs_by_name: dict, p: MapperParams, band_params: BandedAlignParams = None, aligner=None,
-    n_threads: int = 1,
+    n_threads: int = 1, pair_cache: dict = None,
 ) -> list:
     """Map every sequence against every other (minimap2 -X semantics: skip
     self-mapping and dual pairs — each unordered pair is reported once).
@@ -550,12 +556,33 @@ def map_all_vs_all(
     thread pool (the TPU mapping of the reference's rayon par_bridge,
     align_with_minimap2_lib.rs:64-74): the native sketch/chain C++ releases
     the GIL, the index is read-only, and job order stays deterministic
-    (concatenated in query order)."""
+    (concatenated in query order).
+
+    pair_cache (one dict per self-merge fixpoint loop, caller-owned): later
+    rounds of a merge re-map a block set that is mostly UNCHANGED — a pair
+    of unchanged consensuses reproduces (up to the global max_occ cutoff,
+    which can drift as other blocks change) the same chain alignments, so
+    their pre-selection records are replayed from the previous round instead
+    of re-anchored/re-chained/re-DP'd. Keys are (name, consensus digest);
+    primary/secondary selection still runs globally on the full candidate
+    set each round, so the filter semantics are unchanged."""
     from pangraph_tpu.utils import trace
 
     band_params = band_params or BandedAlignParams()
     names = sorted(seqs_by_name)
     seqs = [as_seq(seqs_by_name[n]) for n in names]
+    unchanged = None
+    digests = None
+    if pair_cache is not None:
+        import hashlib
+
+        digests = {
+            n: hashlib.blake2b(s.tobytes(), digest_size=16).digest() for n, s in zip(names, seqs)
+        }
+        prev_keys = pair_cache.get("keys", {})
+        unchanged = np.array([prev_keys.get(n) == digests[n] for n in names], dtype=bool)
+        if not unchanged.any():
+            unchanged = None
     with trace.span("mapper.index"):
         index = build_index(seqs, names, p)
     chain_p = ChainParams(
@@ -567,8 +594,9 @@ def map_all_vs_all(
         qname = names[qi]
         qseq = seqs[qi]
         with trace.span("mapper.anchors"):
-            # -X all-vs-all via the index self-join (rid < qi built in)
-            rid, rpos, qpos, rel = collect_anchors_self(index, qi)
+            # -X all-vs-all via the index self-join (rid < qi built in);
+            # both-unchanged pairs are served from pair_cache instead
+            rid, rpos, qpos, rel = collect_anchors_self(index, qi, unchanged)
         if len(rid) == 0:
             return jobs
         qlen = len(qseq)
@@ -621,6 +649,19 @@ def map_all_vs_all(
     out = []
     for job, edit in zip(jobs, edits):
         out.extend(_finish_chain_alignment(job, edit))
+    if pair_cache is not None:
+        unchanged_names = (
+            {n for n, u in zip(names, unchanged) if u} if unchanged is not None else set()
+        )
+        out.extend(
+            a
+            for a in pair_cache.get("alns", [])
+            if a.qry.name in unchanged_names and a.reff.name in unchanged_names
+        )
+        # store the PRE-selection candidate set: selection depends on the
+        # whole round's hits and must rerun globally every round
+        pair_cache["alns"] = list(out)
+        pair_cache["keys"] = digests
     # primary/secondary resolution + mapq (hit.c semantics; drops the
     # near-duplicate candidates repetitive genomes otherwise flood the
     # energy filter with)

@@ -26,12 +26,14 @@ def make_find_matches(args: BuildArgs, aligner=None):
         args.aln_args.sensitivity, args.aln_args.indel_len_threshold, args.aln_args.kmer_length
     )
 
-    def find_matches(blocks: dict, aln_args):
+    def find_matches(blocks: dict, aln_args, pair_cache=None):
         seqs = {bid: b.consensus for bid, b in blocks.items()}
         return map_all_vs_all(
-            seqs, mp, args.banded_params, aligner=aligner, n_threads=max(1, args.jobs)
+            seqs, mp, args.banded_params, aligner=aligner, n_threads=max(1, args.jobs),
+            pair_cache=pair_cache,
         )
 
+    find_matches.supports_pair_cache = True
     return find_matches
 
 

@@ -69,10 +69,13 @@ def solve_promises(promises: list, args, aligner=None) -> list:
     return [p.finish(results[pi]) for pi, p in enumerate(promises)]
 
 
-def self_merge(graph: Pangraph, args, find_matches, aligner=None):
+def self_merge(graph: Pangraph, args, find_matches, aligner=None, pair_cache=None):
     """One merge iteration (graph_merging.rs:97-174). Returns (graph, changed)."""
     with trace.span("find_matches"):
-        matches = find_matches(graph.blocks, args.aln_args)
+        if pair_cache is not None and getattr(find_matches, "supports_pair_cache", False):
+            matches = find_matches(graph.blocks, args.aln_args, pair_cache=pair_cache)
+        else:
+            matches = find_matches(graph.blocks, args.aln_args)
     log.debug("found %d matches", len(matches))
 
     split = []
@@ -109,9 +112,14 @@ def merge_graphs(left: Pangraph, right: Pangraph, args, find_matches, aligner=No
     (graph_merging.rs:26-72)."""
     graph = graph_join(left, right)
     i = 0
+    # round-over-round pair cache, scoped to this merge's fixpoint loop:
+    # later rounds re-map a mostly-unchanged block set; both-unchanged pairs
+    # replay their previous chain alignments instead of re-anchoring and
+    # re-running the banded DP (map_all_vs_all pair_cache docstring)
+    pair_cache = {}
     while True:
         with trace.span("self_merge"):
-            graph, changed = self_merge(graph, args, find_matches, aligner)
+            graph, changed = self_merge(graph, args, find_matches, aligner, pair_cache=pair_cache)
         if not changed:
             break
         if i >= args.max_self_map:

@@ -433,6 +433,15 @@ class TpuBatchAligner:
     # rounds below this DP area are latency-dominated: not usable as
     # throughput observations for the adaptive host/device split
     RATE_MIN_CELLS = 50_000_000
+    # unproven-device probe: until a warm device rate is observed, each
+    # round's device share is capped at this many cells, and the device leg
+    # is detachable — if it lags PROBE_WAIT_S (a remote compile on a
+    # cold/just-recovered link), its jobs are reassigned to host and the
+    # leg left running as pure warm-up. Measured r4: a tunnel that
+    # recovered mid-build took 4.3 Gcells cold and tripled the wall
+    # without this guard.
+    DEV_PROBE_CELLS = int(float(os.environ.get("PANGRAPH_TPU_DEV_PROBE_CELLS", 400e6)))
+    PROBE_WAIT_S = float(os.environ.get("PANGRAPH_TPU_PROBE_WAIT", 20.0))
 
     def _observe_rate(self, which: str, cells: int, secs: float) -> None:
         if cells < self.RATE_MIN_CELLS or secs <= 0:
@@ -496,6 +505,10 @@ class TpuBatchAligner:
         # This keeps the build fast on hardware where the device link is
         # slow-but-alive (the watchdog only covers full stalls): a slow
         # device then serves a small share instead of gating every round.
+        if budget < (1 << 62) and self._dev_rate is None:
+            # unproven device (cold start or just recovered): the host takes
+            # the bulk, the device a bounded probe share
+            budget = max(budget, sum(cells) - self.DEV_PROBE_CELLS)
         if budget < (1 << 62) and self._host_rate and self._dev_rate:
             share = self._host_rate / (self._host_rate + self._dev_rate)
             budget = max(budget, int(sum(cells) * share))
@@ -543,16 +556,55 @@ class TpuBatchAligner:
             for s, i in enumerate(nat_idx):
                 edits[i], boundary[i] = e[s], b[s]
 
-        def run_device(d_jobs, d_widths, d_kbumps):
+        def run_device(d_jobs, d_widths, d_kbumps, count=True):
             warm_before = len(self._SHAPES_WARM)
             td = _t.time()
-            out = self._dispatch_device(d_jobs, d_widths, d_kbumps)
+            out = self._dispatch_device(d_jobs, d_widths, d_kbumps, count=count)
             # rate observations only from warm rounds (no compile in the wall)
             if len(self._SHAPES_WARM) == warm_before and not self.DEVICE_UNHEALTHY:
                 self._observe_rate("dev", dev_cells, _t.time() - td)
             return out
 
-        if dev_idx and nat_idx:
+        if dev_idx and nat_idx and self._dev_rate is None:
+            # PROBE MODE: the device is unproven — run its (bounded) leg on
+            # a detachable daemon thread. If it lags PROBE_WAIT_S past the
+            # host leg (remote compile on a cold link), reassign its jobs to
+            # host and leave the leg running as pure warm-up: it still
+            # records _SHAPES_WARM and the device-rate EMA on completion,
+            # so a later round can route proportionally.
+            import threading as _th
+
+            box = {}
+            done_ev = _th.Event()
+            d_args = (
+                [jobs[i] for i in dev_idx], [widths[i] for i in dev_idx], [kbumps[i] for i in dev_idx]
+            )
+
+            def probe_leg():
+                try:
+                    box["v"] = run_device(*d_args, count=False)
+                except BaseException as ex:
+                    box["e"] = ex
+                done_ev.set()
+
+            _th.Thread(target=probe_leg, daemon=True, name="device-probe-leg").start()
+            run_native()
+            if done_ev.wait(self.PROBE_WAIT_S) and "v" in box:
+                e, b, o = box["v"]
+                for s, i in enumerate(dev_idx):
+                    edits[i], boundary[i], overflow[i] = e[s], b[s], o[s]
+                # count cells (served) but not warm throughput: probe rounds
+                # may include compile time and would skew the warm rate
+                self._engine_count("device", sum(cells[i] for i in dev_idx), 0, 0.0)
+            else:
+                if "e" not in box:
+                    log.info(
+                        "device probe leg lagging (> %.0f s): reassigning %d jobs to host; "
+                        "the leg continues as warm-up", self.PROBE_WAIT_S, len(dev_idx),
+                    )
+                for i in dev_idx:
+                    edits[i] = self._host_fallback(jobs[i])
+        elif dev_idx and nat_idx:
             # overlap: host C++ releases the GIL; device round mostly waits
             import concurrent.futures as _cf
 
@@ -578,8 +630,10 @@ class TpuBatchAligner:
             )
         return edits, boundary, overflow
 
-    def _dispatch_device(self, jobs: list, widths: list, kbumps: list = None):
-        return self._run_round_v2(jobs, widths, kbumps or [1] * len(jobs))
+    def _dispatch_device(self, jobs: list, widths: list, kbumps: list = None, count: bool = True):
+        # count=False: a probe leg whose results may be discarded — the
+        # caller records the engine receipt only if it uses the results
+        return self._run_round_v2(jobs, widths, kbumps or [1] * len(jobs), count=count)
 
     def _run_round_native(self, jobs: list, widths: list):
         """Host C++ round: banded stripe DP + traceback per job, threaded
@@ -641,7 +695,7 @@ class TpuBatchAligner:
         self._engine_count("host", eng_cells, eng_cells, _t.time() - t_eng)
         return edits, boundary, [False] * n
 
-    def _run_round_v2(self, jobs: list, widths: list, kbumps: list):
+    def _run_round_v2(self, jobs: list, widths: list, kbumps: list, count: bool = True):
         """v2 kernel round: static-op DP + run-jump walk + event compaction.
         One device_get moves every batch's packed results (meta + event
         rows/words) across the D2H link; decode is host-side RLE + vectorized
@@ -811,9 +865,10 @@ class TpuBatchAligner:
                 )
                 dt_dev = _t.time() - t_dev
                 self._SHAPES_WARM.update(shapes)
-                self._engine_count(
-                    "device", dev_cells, 0 if cold else dev_cells, 0.0 if cold else dt_dev
-                )
+                if count:
+                    self._engine_count(
+                        "device", dev_cells, 0 if cold else dev_cells, 0.0 if cold else dt_dev
+                    )
                 if all_ckpt and not cold and dt_dev > 0 and dev_cells >= self.RATE_MIN_CELLS:
                     obs = dev_cells / dt_dev
                     self._ckpt_rate = obs if self._ckpt_rate is None else 0.5 * self._ckpt_rate + 0.5 * obs

@@ -127,7 +127,7 @@ def test_adaptive_split_tracks_engine_rates(monkeypatch):
 
     seen = {}
 
-    def fake_device(self, jobs, widths, kbumps=None):
+    def fake_device(self, jobs, widths, kbumps=None, count=True):
         seen["dev"] = len(jobs)
         return ([None] * len(jobs), [False] * len(jobs), [False] * len(jobs))
 
@@ -220,3 +220,38 @@ def test_engine_report_counts_host_cells():
     assert rep["device"]["cells"] == 0
     assert rep["device_cells_frac"] == 0.0
     TpuBatchAligner.reset_engine_stats()
+
+
+def test_unproven_device_probe_leg_reassigns_to_host(monkeypatch):
+    """With no warm device rate, the device leg is a bounded probe: if it
+    lags PROBE_WAIT_S (remote compile on a cold link), its jobs are
+    reassigned to host and the round completes without waiting (r4: a
+    mid-build tunnel recovery took Gcells cold and tripled the wall)."""
+    from pangraph_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    params = BandedAlignParams()
+    al = TpuBatchAligner(params)
+    monkeypatch.setattr(TpuBatchAligner, "DEVICE_UNHEALTHY", False)
+    monkeypatch.setattr(TpuBatchAligner, "_device_kind_cache", "tpu")
+    monkeypatch.setattr(TpuBatchAligner, "PROBE_WAIT_S", 0.2)
+    # a big enough round that the device would get a share beyond the
+    # latency budget, with jobs small enough for quick host fallback
+    monkeypatch.setattr(TpuBatchAligner, "NATIVE_CELL_BUDGET", 1)
+    monkeypatch.setattr(TpuBatchAligner, "DEV_PROBE_CELLS", 10_000)
+
+    def slow_device(self, jobs, widths, kbumps=None, count=True):
+        time.sleep(5.0)  # simulated remote compile
+        return ([None] * len(jobs), [False] * len(jobs), [False] * len(jobs))
+
+    monkeypatch.setattr(TpuBatchAligner, "_dispatch_device", slow_device)
+    al._host_rate = None
+    al._dev_rate = None  # unproven: probe mode
+    jobs = _jobs(n=8, L=600, seed=5)
+    t0 = time.time()
+    edits = al.align_many(jobs)
+    assert time.time() - t0 < 4.0, "round waited for the lagging probe leg"
+    for j, e in zip(jobs, edits):
+        want = map_variations(j.ref, j.qry, j.band, params, al.extra)
+        assert e == want
