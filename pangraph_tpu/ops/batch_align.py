@@ -321,11 +321,13 @@ class TpuBatchAligner:
 
     @classmethod
     def reset_engine_stats(cls) -> None:
+        # cell counters reset per measured run; the quarantine log is
+        # process-level history and is deliberately kept (a bench whose
+        # device stalled at init must say so in its receipts)
         with cls._ENGINE_LOCK:
             for e in cls.ENGINE.values():
                 e[0] = e[1] = 0
                 e[2] = 0.0
-            cls.QUARANTINE_LOG.clear()
 
     @classmethod
     def _quarantine(cls, reason: str) -> None:
