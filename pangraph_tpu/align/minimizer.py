@@ -13,6 +13,7 @@ the same data-parallel shape used by the Pallas version.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -84,7 +85,10 @@ class Minimizers:
 
 
 _SKETCH_CACHE: "OrderedDict" = None
-_SKETCH_CACHE_MAX = 4096
+# must exceed the block count of the largest graph being self-mapped, or the
+# LRU thrashes (every round re-sketches everything): 10^4-block pangenomes
+# at ~1 kb/block cost ~1.7 kB/entry -> ~32 MB at this cap
+_SKETCH_CACHE_MAX = int(os.environ.get("PANGRAPH_TPU_SKETCH_CACHE", 20_000))
 
 
 def sketch_cached(seq: np.ndarray, k: int, w: int) -> Minimizers:
