@@ -237,15 +237,14 @@ class TpuBatchAligner:
     R_TIERS = (4096, 16384, 65536, 131072, 262144, 524288, 1048576, 2097152, 4194304)
     V2_BYTES = 2 * 1024 * 1024 * 1024  # per-batch paths-buffer budget (v2 kernel)
     # paths bytes/problem beyond which the checkpointed DP + window re-derive
-    # walk is used (HBM holds carries, ~20-100x smaller; kernel-parity tested,
-    # tests/test_stripe_ckpt.py). Default OFF on the dispatch path: measured
-    # r3 on the single tunneled v5e chip, routing Mbp jobs through the ckpt
-    # kernel cost 58 s for the 4x2.5 Mbp build (r2 bench) and stalled >25 min
-    # in one r3 run, while the host AVX-512 path finishes the same build in
-    # 16 s (dev/profile_scale.py, ckpt on vs off). Mbp jobs beyond the
-    # non-ckpt HBM budget therefore run on host; deployments with local
-    # (non-tunneled) chips can re-enable with PANGRAPH_TPU_CKPT_BYTES=7e8.
-    # The kernel itself stays covered by tests and the multichip dryrun.
+    # walk is FORCED (HBM holds carries, ~20-100x smaller; kernel-parity
+    # tested, tests/test_stripe_ckpt.py). This env threshold is an explicit
+    # override only: since r4, tiers too big for the v2 kernel's HBM budget
+    # are routed to the ckpt kernel ADAPTIVELY (_ckpt_competitive — measured
+    # ckpt rate vs host EMA, first round is the probe), so healthy chips run
+    # Mbp jobs on device with no env var, while a stalled/slow tunnel fails
+    # over to host via the watchdog + rates (r2/r3 history: a constant here
+    # calibrated to one broken link once pinned all Mbp work host-side).
     CKPT_PATHS_BYTES = int(float(os.environ.get("PANGRAPH_TPU_CKPT_BYTES", 1e18)))
     HBM_BUDGET = 10 * 1024 * 1024 * 1024  # total outstanding paths bytes across threads
     # widest kernel band bucket (bands beyond this are clamped to the bucket
