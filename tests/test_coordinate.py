@@ -168,3 +168,35 @@ def test_tcp_checkpointer_claim_and_exchange(tmp_path):
     with pytest.raises(TimeoutError):
         peer.wait_for(["never"], timeout_s=0.3)
     host0.server.close()
+
+
+def test_tcp_checkpointer_degrades_when_server_dies(tmp_path):
+    """Coordinator death mid-build must degrade to solo-build semantics:
+    claims succeed locally, loads miss, waits raise TimeoutError (the build
+    call sites then compute the merge locally)."""
+    import socket
+
+    from pangraph_tpu.parallel.coordinator import TcpMergeCheckpointer
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    url = f"tcp://127.0.0.1:{port}"
+    host0 = TcpMergeCheckpointer(url)
+    peer = TcpMergeCheckpointer(url)
+    assert peer.try_claim(["a"])  # server alive: first claim wins
+    host0.server.close()
+    # server gone: degrade (with fast retry exhaustion)
+    orig = peer._rpc
+
+    def fast_rpc(header, payload=b"", timeout=None, retries=100):
+        return orig(header, payload, timeout=timeout, retries=2)
+
+    peer._rpc = fast_rpc
+    assert peer.try_claim(["b"]) is True  # solo mode: claim granted locally
+    assert peer._dead
+    assert peer.load(["a"]) is None
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        peer.wait_for(["a"], timeout_s=0.5)
