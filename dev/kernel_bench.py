@@ -58,9 +58,13 @@ def bench_native_stripe(rng):
         refs, qrys = _pairs(rng, n, L)
         ms = np.zeros(n, np.int64)
         Wv = np.full(n, W, np.int64)
-        stripe_align_batch_native(refs[:1], qrys[:1], ms[:1], Wv[:1], p, IUPAC_MASK)
+        # production-sized result caps (as ops/batch_align computes them):
+        # the wrapper's 65k/262k defaults allocate ~300 MB of result buffers
+        # for a 64-job batch and the memset dominates small-L timings
+        caps = {"ops_cap": min(65536, 256 + L // 8), "subs_cap": min(262144, 256 + L // 4)}
+        stripe_align_batch_native(refs[:1], qrys[:1], ms[:1], Wv[:1], p, IUPAC_MASK, **caps)
         t = time.time()
-        out = stripe_align_batch_native(refs, qrys, ms, Wv, p, IUPAC_MASK)
+        out = stripe_align_batch_native(refs, qrys, ms, Wv, p, IUPAC_MASK, **caps)
         dt = time.time() - t
         cells = n * (L + 1) * (2 * W + 2)
         assert set(out["status"].tolist()) == {0}
