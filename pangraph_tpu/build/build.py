@@ -162,7 +162,14 @@ def build(records, args: BuildArgs, aligner=None, find_matches_override=None, pr
 
     ckpt = MergeCheckpointer(args.checkpoint_dir) if getattr(args, "checkpoint_dir", None) else None
     coordinate_arg = getattr(args, "coordinate", False)
-    if isinstance(coordinate_arg, str) and coordinate_arg.startswith("tcp://"):
+    if isinstance(coordinate_arg, str):
+        if not coordinate_arg.startswith("tcp://"):
+            # a typo'd scheme silently falling through to FS mode (or to a
+            # solo build when no checkpoint dir is set) would duplicate all
+            # work without any warning
+            raise ValueError(
+                f"unsupported --coordinate transport {coordinate_arg!r} (expected tcp://HOST:PORT)"
+            )
         # TCP claim/exchange transport: same interface, no shared filesystem
         # (an optional --checkpoint-dir is still written through for resume)
         from pangraph_tpu.parallel.coordinator import TcpMergeCheckpointer

@@ -137,6 +137,10 @@ class TpuBatchAligner:
 
         self._mem_lock = threading.Condition()
         self._mem_outstanding = 0
+        # at most one unproven-device probe leg in flight (test-and-set)
+        self._probe_lock = threading.Lock()
+        self._probe_inflight = False
+        self._probe_counts = (0, 0)  # (device, host) cells served by the last probe leg
 
     def align_many(self, jobs: list) -> list:
         """jobs: list of AlignJob (or (ref, qry, band) tuples). Returns Edits
@@ -363,7 +367,10 @@ class TpuBatchAligner:
                 np.asarray(jax.device_put(np.arange(16, dtype=np.int32)))
                 box["v"] = kind
             except Exception:
-                pass
+                # an ERROR is not a stall: a box where jax raises has no
+                # usable accelerator — classify "cpu" (host routing) instead
+                # of quarantining and re-probing forever
+                box["v"] = "cpu"
             done.set()
 
         threading.Thread(target=probe, daemon=True, name="device-probe").start()
@@ -375,8 +382,13 @@ class TpuBatchAligner:
     def _reprobe_loop(cls) -> None:
         import time as _t
 
-        delay = cls.REPROBE_S
-        try:
+        # outer loop guards against a lost wakeup: a _quarantine() racing our
+        # exit (it saw _reprobe_running still True and only set the wake
+        # event) must find the daemon still on duty, or the device would be
+        # latched permanently with no re-prober — the exact regression the
+        # half-open design exists to fix
+        while True:
+            delay = cls.REPROBE_S
             while cls.DEVICE_UNHEALTHY:
                 cls._REPROBE_WAKE.clear()
                 if cls._REPROBE_WAKE.wait(delay):
@@ -384,18 +396,21 @@ class TpuBatchAligner:
                     delay = cls.REPROBE_S
                     continue
                 if not cls.DEVICE_UNHEALTHY:
-                    return
+                    break
                 kind = cls._probe_link(timeout=15.0)
                 if kind is not None:
                     cls._device_kind_cache = kind
                     cls.DEVICE_UNHEALTHY = False
                     cls.QUARANTINE_LOG.append((round(_t.time(), 1), "recovered", kind))
                     log.warning("device link recovered: restoring device routing")
-                    return
+                    break
                 delay = min(delay * 2, 300.0)
-        finally:
             with cls._REPROBE_LOCK:
-                cls._reprobe_running = False
+                # linearized with _quarantine's check: only stand down while
+                # provably healthy
+                if not cls.DEVICE_UNHEALTHY:
+                    cls._reprobe_running = False
+                    return
 
     @staticmethod
     def _job_cells(job: AlignJob, W: int) -> int:
@@ -507,9 +522,13 @@ class TpuBatchAligner:
         # slow-but-alive (the watchdog only covers full stalls): a slow
         # device then serves a small share instead of gating every round.
         if budget < (1 << 62) and self._dev_rate is None:
-            # unproven device (cold start or just recovered): the host takes
-            # the bulk, the device a bounded probe share
-            budget = max(budget, sum(cells) - self.DEV_PROBE_CELLS)
+            if self._probe_inflight:
+                # a probe leg is still compiling/running: everything host
+                budget = 1 << 62
+            else:
+                # unproven device (cold start or just recovered): the host
+                # takes the bulk, the device a bounded probe share
+                budget = max(budget, sum(cells) - self.DEV_PROBE_CELLS)
         if budget < (1 << 62) and self._host_rate and self._dev_rate:
             share = self._host_rate / (self._host_rate + self._dev_rate)
             budget = max(budget, int(sum(cells) * share))
@@ -572,8 +591,29 @@ class TpuBatchAligner:
             # host leg (remote compile on a cold link), reassign its jobs to
             # host and leave the leg running as pure warm-up: it still
             # records _SHAPES_WARM and the device-rate EMA on completion,
-            # so a later round can route proportionally.
+            # so a later round can route proportionally. At most ONE probe
+            # leg is in flight per aligner (a cold link would otherwise
+            # stack a new compiling leg + a PROBE_WAIT_S stall per round).
             import threading as _th
+
+            with self._probe_lock:
+                spawn = not self._probe_inflight
+                if spawn:
+                    self._probe_inflight = True
+            if not spawn:
+                # lost the race to another merge thread's leg: serve
+                # everything from host this round
+                run_native()
+                for i in dev_idx:
+                    edits[i] = self._host_fallback(jobs[i])
+                if stats:
+                    self.STATS.append(
+                        (
+                            f"mixed[n={len(nat_idx)},d=0(probe-wait)]", n, sum(cells),
+                            _time.time() - t0, sum(len(j.ref) for j in jobs),
+                        )
+                    )
+                return edits, boundary, overflow
 
             box = {}
             done_ev = _th.Event()
@@ -586,7 +626,10 @@ class TpuBatchAligner:
                     box["v"] = run_device(*d_args, count=False)
                 except BaseException as ex:
                     box["e"] = ex
-                done_ev.set()
+                finally:
+                    done_ev.set()
+                    with self._probe_lock:
+                        self._probe_inflight = False
 
             _th.Thread(target=probe_leg, daemon=True, name="device-probe-leg").start()
             run_native()
@@ -594,11 +637,20 @@ class TpuBatchAligner:
                 e, b, o = box["v"]
                 for s, i in enumerate(dev_idx):
                     edits[i], boundary[i], overflow[i] = e[s], b[s], o[s]
-                # count cells (served) but not warm throughput: probe rounds
-                # may include compile time and would skew the warm rate
-                self._engine_count("device", sum(cells[i] for i in dev_idx), 0, 0.0)
+                # count only what the leg actually SERVED (its internal host
+                # fallbacks count as host), and never as warm throughput —
+                # probe rounds may include compile time
+                dev_served, host_served = getattr(self, "_probe_counts", (0, 0))
+                self._engine_count("device", dev_served, 0, 0.0)
+                if host_served:
+                    self._engine_count("host", host_served, 0, 0.0)
             else:
-                if "e" not in box:
+                if "e" in box:
+                    log.warning(
+                        "device probe leg failed (%r): serving %d jobs from host",
+                        box.get("e"), len(dev_idx),
+                    )
+                else:
                     log.info(
                         "device probe leg lagging (> %.0f s): reassigning %d jobs to host; "
                         "the leg continues as warm-up", self.PROBE_WAIT_S, len(dev_idx),
@@ -833,10 +885,17 @@ class TpuBatchAligner:
             import concurrent.futures as _cf
 
             fb_pool = _cf.ThreadPoolExecutor(max_workers=2)
-            fb_futs = {i: fb_pool.submit(self._host_fallback, jobs[i]) for i in fallback_idx}
+            # count=count: in a probe leg (count=False) the round's caller
+            # accounts served cells itself, via _probe_counts below
+            fb_futs = {i: fb_pool.submit(self._host_fallback, jobs[i], count) for i in fallback_idx}
 
+        fb_cells = sum(
+            self._job_cells(jobs[i], jobs[i].band.band_width + self.extra) for i in fallback_idx
+        )
         try:
             if not planned:
+                if not count:
+                    self._probe_counts = (0, fb_cells)
                 return self._run_planned(jobs, planned, edits, boundary, overflow, fb_futs)
             # the WHOLE device round (dispatch-time compiles included) runs
             # under the watchdog: dispatch can block inside a jit compile on
@@ -870,6 +929,8 @@ class TpuBatchAligner:
                     self._engine_count(
                         "device", dev_cells, 0 if cold else dev_cells, 0.0 if cold else dt_dev
                     )
+                else:
+                    self._probe_counts = (dev_cells, fb_cells)
                 if all_ckpt and not cold and dt_dev > 0 and dev_cells >= self.RATE_MIN_CELLS:
                     obs = dev_cells / dt_dev
                     self._ckpt_rate = obs if self._ckpt_rate is None else 0.5 * self._ckpt_rate + 0.5 * obs
@@ -877,9 +938,11 @@ class TpuBatchAligner:
             except _DeviceStall:
                 import concurrent.futures as _cf
 
+                if not count:
+                    self._probe_counts = (0, dev_cells + fb_cells)
                 with _cf.ThreadPoolExecutor(max_workers=2) as pool:
                     futs = {
-                        i: pool.submit(self._host_fallback, jobs[i])
+                        i: pool.submit(self._host_fallback, jobs[i], count)
                         for sub, *_ in planned
                         for i in sub
                     }

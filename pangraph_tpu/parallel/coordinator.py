@@ -112,16 +112,22 @@ class CoordinatorServer:
                     _send_msg(conn, {"len": len(data)}, data)
                 elif op == "wait":
                     deadline = time.time() + header.get("timeout_s", 3600.0)
+                    # the waiter count must stay raised until the payload has
+                    # been SENT: the atexit drain in the hosting worker would
+                    # otherwise release (and the process exit) between the
+                    # wakeup and the multi-MB sendall of the root graph
                     with self._lock:
                         self._waiters += 1
-                        try:
+                    try:
+                        with self._lock:
                             while key not in self._graphs and time.time() < deadline:
                                 self._lock.wait(timeout=min(1.0, max(deadline - time.time(), 0.01)))
                             data = self._graphs.get(key, b"")
-                        finally:
+                        _send_msg(conn, {"len": len(data)}, data)
+                    finally:
+                        with self._lock:
                             self._waiters -= 1
                             self._lock.notify_all()
-                    _send_msg(conn, {"len": len(data)}, data)
                 else:
                     _send_msg(conn, {"error": f"unknown op {op!r}"})
         except (ConnectionError, OSError):

@@ -46,7 +46,10 @@ def _mutate(g: np.ndarray, rng, sub_rate: float) -> np.ndarray:
             gl[p:p] = list(ACGT[rng.integers(0, 4, L)])
     g = np.array(gl, np.uint8)
     for _ in range(int(rng.integers(1, 3))):
-        L = int(rng.integers(3_000, min(10_000, max(3_001, len(g) // 4))))
+        hi = min(10_000, len(g) // 3)
+        if hi <= 3_000:
+            break  # genome too short for a 3-10 kb inversion
+        L = int(rng.integers(3_000, hi))
         p = int(rng.integers(0, len(g) - L))
         g[p : p + L] = _COMP[g[p : p + L]][::-1]
     return np.roll(g, int(rng.integers(0, len(g))))

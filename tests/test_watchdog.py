@@ -20,9 +20,15 @@ ACGT = np.frombuffer(b"ACGT", np.uint8)
 
 @pytest.fixture(autouse=True)
 def _reset_flag():
+    saved_kind = TpuBatchAligner._device_kind_cache
+    saved_stalled = TpuBatchAligner.DEVICE_EVER_STALLED
     TpuBatchAligner.DEVICE_UNHEALTHY = False
     yield
+    # restore ALL class-level state these tests touch (directly or via the
+    # re-probe loop), or later test files see leaked routing state
     TpuBatchAligner.DEVICE_UNHEALTHY = False
+    TpuBatchAligner.DEVICE_EVER_STALLED = saved_stalled
+    TpuBatchAligner._device_kind_cache = saved_kind
 
 
 def test_fetch_watchdog_times_out(monkeypatch):
