@@ -434,8 +434,14 @@ class TpuBatchAligner:
             # the probe exercises the DATA PATH too: init can succeed while
             # transfers hang (observed r3) — a tiny H2D+D2H round trip
             # catches that here, for the cost of ~1 ms on healthy hardware,
-            # instead of a cold-round timeout
-            kind = cls._probe_link(float(os.environ.get("PANGRAPH_TPU_INIT_TIMEOUT", 120.0)))
+            # instead of a cold-round timeout. Default 20 s, not r3's 120:
+            # a healthy idle tunnel inits in <1 s, while a chip still held
+            # by a dead predecessor process takes 60-120 s to be reclaimed
+            # (measured r4) — with the half-open re-probe it is strictly
+            # better to start on host immediately and let the daemon
+            # restore device routing when the chip frees, than to block the
+            # whole build's start behind the reclaim.
+            kind = cls._probe_link(float(os.environ.get("PANGRAPH_TPU_INIT_TIMEOUT", 20.0)))
             if kind is None:
                 log.warning("device backend initialization stalled: using the host aligner")
                 cls._quarantine("backend initialization stalled")
