@@ -364,13 +364,22 @@ class TpuBatchAligner:
                 import jax
 
                 kind = jax.default_backend()
+            except Exception:
+                # no usable backend at all: classify "cpu" (host routing)
+                # instead of quarantining and re-probing a jax-less box
+                box["v"] = "cpu"
+                done.set()
+                return
+            try:
                 np.asarray(jax.device_put(np.arange(16, dtype=np.int32)))
                 box["v"] = kind
             except Exception:
-                # an ERROR is not a stall: a box where jax raises has no
-                # usable accelerator — classify "cpu" (host routing) instead
-                # of quarantining and re-probing forever
-                box["v"] = "cpu"
+                # a TRANSFER error on a tpu backend is transient link
+                # trouble (tunnel restart raises instead of hanging):
+                # report a stall so the backoff re-probe keeps trying —
+                # classifying it "cpu" would latch host routing for the
+                # whole build (the r3 regression)
+                box["v"] = None if kind == "tpu" else "cpu"
             done.set()
 
         threading.Thread(target=probe, daemon=True, name="device-probe").start()
@@ -387,30 +396,38 @@ class TpuBatchAligner:
         # event) must find the daemon still on duty, or the device would be
         # latched permanently with no re-prober — the exact regression the
         # half-open design exists to fix
-        while True:
-            delay = cls.REPROBE_S
-            while cls.DEVICE_UNHEALTHY:
-                cls._REPROBE_WAKE.clear()
-                if cls._REPROBE_WAKE.wait(delay):
-                    # re-quarantined while sleeping: restart the backoff
-                    delay = cls.REPROBE_S
-                    continue
-                if not cls.DEVICE_UNHEALTHY:
-                    break
-                kind = cls._probe_link(timeout=15.0)
-                if kind is not None:
-                    cls._device_kind_cache = kind
-                    cls.DEVICE_UNHEALTHY = False
-                    cls.QUARANTINE_LOG.append((round(_t.time(), 1), "recovered", kind))
-                    log.warning("device link recovered: restoring device routing")
-                    break
-                delay = min(delay * 2, 300.0)
+        try:
+            while True:
+                delay = cls.REPROBE_S
+                while cls.DEVICE_UNHEALTHY:
+                    cls._REPROBE_WAKE.clear()
+                    if cls._REPROBE_WAKE.wait(delay):
+                        # re-quarantined while sleeping: restart the backoff
+                        delay = cls.REPROBE_S
+                        continue
+                    if not cls.DEVICE_UNHEALTHY:
+                        break
+                    kind = cls._probe_link(timeout=15.0)
+                    if kind is not None:
+                        cls._device_kind_cache = kind
+                        cls.DEVICE_UNHEALTHY = False
+                        cls.QUARANTINE_LOG.append((round(_t.time(), 1), "recovered", kind))
+                        log.warning("device link recovered: restoring device routing")
+                        break
+                    delay = min(delay * 2, 300.0)
+                with cls._REPROBE_LOCK:
+                    # linearized with _quarantine's check: only stand down
+                    # while provably healthy
+                    if not cls.DEVICE_UNHEALTHY:
+                        cls._reprobe_running = False
+                        return
+        except BaseException:
+            # never die with _reprobe_running latched True (a future
+            # _quarantine could then never respawn a re-prober)
             with cls._REPROBE_LOCK:
-                # linearized with _quarantine's check: only stand down while
-                # provably healthy
-                if not cls.DEVICE_UNHEALTHY:
-                    cls._reprobe_running = False
-                    return
+                cls._reprobe_running = False
+            log.warning("device re-probe daemon crashed; a later stall will restart it", exc_info=True)
+            raise
 
     @staticmethod
     def _job_cells(job: AlignJob, W: int) -> int:
@@ -607,19 +624,20 @@ class TpuBatchAligner:
                 if spawn:
                     self._probe_inflight = True
             if not spawn:
-                # lost the race to another merge thread's leg: serve
-                # everything from host this round
-                run_native()
-                for i in dev_idx:
-                    edits[i] = self._host_fallback(jobs[i])
+                # lost the race to another merge thread's leg: everything is
+                # host-bound and known so up front — serve the WHOLE round
+                # as one threaded native batch instead of per-job fallbacks
+                tn = _t.time()
+                e, b, _ = self._run_round_native(jobs, widths)
+                self._observe_rate("host", sum(cells), _t.time() - tn)
                 if stats:
                     self.STATS.append(
                         (
-                            f"mixed[n={len(nat_idx)},d=0(probe-wait)]", n, sum(cells),
+                            f"host[probe-wait,n={n}]", n, sum(cells),
                             _time.time() - t0, sum(len(j.ref) for j in jobs),
                         )
                     )
-                return edits, boundary, overflow
+                return e, b, [False] * n
 
             box = {}
             done_ev = _th.Event()
@@ -902,7 +920,7 @@ class TpuBatchAligner:
             if not planned:
                 if not count:
                     self._probe_counts = (0, fb_cells)
-                return self._run_planned(jobs, planned, edits, boundary, overflow, fb_futs)
+                return self._run_planned(jobs, planned, edits, boundary, overflow, fb_futs, count)
             # the WHOLE device round (dispatch-time compiles included) runs
             # under the watchdog: dispatch can block inside a jit compile on
             # a stalled tunnel where the fetch-level watchdog never starts.
@@ -925,7 +943,7 @@ class TpuBatchAligner:
                 t_dev = _t.time()
                 out = self._watchdog_call(
                     lambda: self._run_planned(
-                        jobs, planned, list(edits), list(boundary), list(overflow), fb_futs
+                        jobs, planned, list(edits), list(boundary), list(overflow), fb_futs, count
                     ),
                     base + 60.0 + cells / 1e8,
                 )
@@ -964,7 +982,7 @@ class TpuBatchAligner:
             if fb_pool is not None:
                 fb_pool.shutdown(wait=True)
 
-    def _run_planned(self, jobs, planned, edits, boundary, overflow, fb_futs):
+    def _run_planned(self, jobs, planned, edits, boundary, overflow, fb_futs, count: bool = True):
         import jax
 
         from pangraph_tpu.ops.stripe_v2 import (
@@ -1036,7 +1054,10 @@ class TpuBatchAligner:
                         # doubled band (align/align.rs:55-63)
                         pass
                     else:  # dead walk without boundary: rare; host fallback
-                        edits[i] = self._host_fallback(j)
+                        # count=count: in a probe leg the caller accounts
+                        # served cells via _probe_counts (these jobs are in
+                        # dev_served there; counting host too would double)
+                        edits[i] = self._host_fallback(j, count)
         if fb_futs:
             for i, f in fb_futs.items():
                 edits[i] = f.result()

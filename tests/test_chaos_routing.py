@@ -40,7 +40,12 @@ def test_chaos_device_never_changes_results(monkeypatch):
     al = TpuBatchAligner(params)
     monkeypatch.setattr(TpuBatchAligner, "DEVICE_UNHEALTHY", False)
     monkeypatch.setattr(TpuBatchAligner, "_device_kind_cache", "tpu")
-    monkeypatch.setattr(TpuBatchAligner, "NATIVE_CELL_BUDGET", 1)
+    # budget sized so the host leg gets one-or-two jobs and the device the
+    # rest (a job at L=200..900, W=13 is ~5.6-25 kcells): with _dev_rate
+    # never observed (all rounds are below RATE_MIN_CELLS) every mixed round
+    # goes through the PROBE-LEG branch — single-flight spawn, PROBE_WAIT_S
+    # reassignment, _probe_counts accounting
+    monkeypatch.setattr(TpuBatchAligner, "NATIVE_CELL_BUDGET", 30_000)
     monkeypatch.setattr(TpuBatchAligner, "DEV_PROBE_CELLS", 1 << 40)
     monkeypatch.setattr(TpuBatchAligner, "REPROBE_S", 0.02)
     monkeypatch.setattr(TpuBatchAligner, "PROBE_WAIT_S", 0.3)
@@ -48,8 +53,11 @@ def test_chaos_device_never_changes_results(monkeypatch):
 
     chaos = np.random.default_rng(1234)
     real_native = TpuBatchAligner._run_round_native
+    seen = {"probe_legs": 0}
 
     def chaotic_device(self, jobs, widths, kbumps=None, count=True):
+        if not count:
+            seen["probe_legs"] += 1  # dispatched from a probe leg
         roll = chaos.random()
         if roll < 0.2:
             # internal stall handling: quarantine + host rerun (what the
@@ -82,3 +90,5 @@ def test_chaos_device_never_changes_results(monkeypatch):
         while TpuBatchAligner.DEVICE_UNHEALTHY and time.time() < deadline:
             time.sleep(0.01)
         assert not TpuBatchAligner.DEVICE_UNHEALTHY
+    # the probe-leg machinery (the code under test) must actually have run
+    assert seen["probe_legs"] > 0, "chaos rounds never exercised the probe-leg branch"
