@@ -655,9 +655,11 @@ class TpuBatchAligner:
                     with self._probe_lock:
                         self._probe_inflight = False
 
+            t_leg = _t.time()
             _th.Thread(target=probe_leg, daemon=True, name="device-probe-leg").start()
             run_native()
             if done_ev.wait(self.PROBE_WAIT_S) and "v" in box:
+                leg_wall = _t.time() - t_leg
                 e, b, o = box["v"]
                 for s, i in enumerate(dev_idx):
                     edits[i], boundary[i], overflow[i] = e[s], b[s], o[s]
@@ -668,6 +670,14 @@ class TpuBatchAligner:
                 self._engine_count("device", dev_served, 0, 0.0)
                 if host_served:
                     self._engine_count("host", host_served, 0, 0.0)
+                # SEED the device-rate EMA from the leg's wall (pessimistic:
+                # may include a compile). Without this, a large build whose
+                # every round touches >=1 cold shape never observes a warm
+                # rate, stays in probe mode for its whole duration, and pays
+                # a PROBE_WAIT_S stall per lagging round (measured r4: 90 s
+                # vs 54 s on the 46 Mbp mixed build). Warm-round
+                # observations then correct the EMA upward.
+                self._observe_rate("dev", dev_served, leg_wall)
             else:
                 if "e" in box:
                     log.warning(
