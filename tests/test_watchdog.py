@@ -261,3 +261,37 @@ def test_unproven_device_probe_leg_reassigns_to_host(monkeypatch):
     for j, e in zip(jobs, edits):
         want = map_variations(j.ref, j.qry, j.band, params, al.extra)
         assert e == want
+
+
+def test_abandoned_probe_leg_counts_nothing_for_device(monkeypatch):
+    """An abandoned (lagging) probe leg's results are discarded — its cells
+    must NOT appear in the device receipts; the reassigned host work must."""
+    from pangraph_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    params = BandedAlignParams()
+    al = TpuBatchAligner(params)
+    monkeypatch.setattr(TpuBatchAligner, "DEVICE_UNHEALTHY", False)
+    monkeypatch.setattr(TpuBatchAligner, "_device_kind_cache", "tpu")
+    monkeypatch.setattr(TpuBatchAligner, "PROBE_WAIT_S", 0.2)
+    monkeypatch.setattr(TpuBatchAligner, "NATIVE_CELL_BUDGET", 30_000)
+    monkeypatch.setattr(TpuBatchAligner, "DEV_PROBE_CELLS", 1 << 40)
+
+    def slow_device(self, jobs, widths, kbumps=None, count=True):
+        time.sleep(3.0)
+        return ([None] * len(jobs), [False] * len(jobs), [False] * len(jobs))
+
+    monkeypatch.setattr(TpuBatchAligner, "_dispatch_device", slow_device)
+    al._host_rate = None
+    al._dev_rate = None
+    TpuBatchAligner.reset_engine_stats()
+    jobs = _jobs(n=8, L=700, seed=11)
+    edits = al.align_many(jobs)
+    for j, e in zip(jobs, edits):
+        want = map_variations(j.ref, j.qry, j.band, params, al.extra)
+        assert e == want
+    rep = TpuBatchAligner.engine_report()
+    assert rep["device"]["cells"] == 0, rep
+    assert rep["host"]["cells"] > 0
+    TpuBatchAligner.reset_engine_stats()
