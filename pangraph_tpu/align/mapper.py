@@ -662,6 +662,19 @@ def map_all_vs_all(
         # whole round's hits and must rerun globally every round
         pair_cache["alns"] = list(out)
         pair_cache["keys"] = digests
+    # canonical candidate order BEFORE selection: select_hits breaks
+    # equal-score ties by input order and filter_matches breaks equal-energy
+    # ties by list index, so ordering must not depend on computation order
+    # (fresh vs pair-cache-replayed, thread scheduling) — sort by a total
+    # deterministic key instead
+    out.sort(
+        key=lambda a: (
+            a.qry.name, a.reff.name,
+            a.qry.interval.start, a.qry.interval.end,
+            a.reff.interval.start, a.reff.interval.end,
+            a.orientation, -a.matches, a.length,
+        )
+    )
     # primary/secondary resolution + mapq (hit.c semantics; drops the
     # near-duplicate candidates repetitive genomes otherwise flood the
     # energy filter with)

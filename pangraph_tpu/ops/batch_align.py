@@ -362,12 +362,19 @@ class TpuBatchAligner:
         def probe():
             try:
                 import jax
-
+            except Exception:
+                # no jax at all: classify "cpu" (host routing) instead of
+                # quarantining and re-probing a jax-less box forever
+                box["v"] = "cpu"
+                done.set()
+                return
+            try:
                 kind = jax.default_backend()
             except Exception:
-                # no usable backend at all: classify "cpu" (host routing)
-                # instead of quarantining and re-probing a jax-less box
-                box["v"] = "cpu"
+                # backend init RAISED (a tunnel restart raises instead of
+                # hanging): transient link trouble — report a stall so the
+                # backoff re-probe keeps trying; classifying it "cpu" would
+                # latch host routing for the whole build
                 done.set()
                 return
             try:
@@ -608,8 +615,10 @@ class TpuBatchAligner:
                 self._observe_rate("dev", dev_cells, _t.time() - td)
             return out
 
-        if dev_idx and nat_idx and self._dev_rate is None:
-            # PROBE MODE: the device is unproven — run its (bounded) leg on
+        if dev_idx and self._dev_rate is None:
+            # PROBE MODE (with or without a host leg — a round none of whose
+            # jobs fit the host budget must not bypass the cap/detach either):
+            # the device is unproven — run its (bounded) leg on
             # a detachable daemon thread. If it lags PROBE_WAIT_S past the
             # host leg (remote compile on a cold link), reassign its jobs to
             # host and leave the leg running as pure warm-up: it still
@@ -657,7 +666,8 @@ class TpuBatchAligner:
 
             t_leg = _t.time()
             _th.Thread(target=probe_leg, daemon=True, name="device-probe-leg").start()
-            run_native()
+            if nat_idx:
+                run_native()
             if done_ev.wait(self.PROBE_WAIT_S) and "v" in box:
                 leg_wall = _t.time() - t_leg
                 e, b, o = box["v"]
@@ -930,7 +940,11 @@ class TpuBatchAligner:
             if not planned:
                 if not count:
                     self._probe_counts = (0, fb_cells)
-                return self._run_planned(jobs, planned, edits, boundary, overflow, fb_futs, count)
+                out = self._run_planned(jobs, planned, edits, boundary, overflow, fb_futs, count)
+                if fb_futs:
+                    for i, f in fb_futs.items():
+                        out[0][i] = f.result()
+                return out
             # the WHOLE device round (dispatch-time compiles included) runs
             # under the watchdog: dispatch can block inside a jit compile on
             # a stalled tunnel where the fetch-level watchdog never starts.
@@ -968,6 +982,11 @@ class TpuBatchAligner:
                 if all_ckpt and not cold and dt_dev > 0 and dev_cells >= self.RATE_MIN_CELLS:
                     obs = dev_cells / dt_dev
                     self._ckpt_rate = obs if self._ckpt_rate is None else 0.5 * self._ckpt_rate + 0.5 * obs
+                # resolve host-fallback futures OUTSIDE the timed device leg:
+                # their wall must not pollute dt_dev or the ckpt-rate EMA
+                if fb_futs:
+                    for i, f in fb_futs.items():
+                        out[0][i] = f.result()
                 return out
             except _DeviceStall:
                 import concurrent.futures as _cf
@@ -1064,13 +1083,11 @@ class TpuBatchAligner:
                         # doubled band (align/align.rs:55-63)
                         pass
                     else:  # dead walk without boundary: rare; host fallback
-                        # count=count: in a probe leg the caller accounts
-                        # served cells via _probe_counts (these jobs are in
-                        # dev_served there; counting host too would double)
-                        edits[i] = self._host_fallback(j, count)
-        if fb_futs:
-            for i, f in fb_futs.items():
-                edits[i] = f.result()
+                        # count=False always: this job's cells are already
+                        # attributed to the device plan (dev_cells /
+                        # _probe_counts); counting host too would inflate
+                        # the engine totals
+                        edits[i] = self._host_fallback(j, False)
         return edits, boundary, overflow
 
     def _watchdog_call(self, fn, timeout: float):

@@ -67,8 +67,11 @@ class CoordinatorServer:
         self._graphs: dict = {}  # key -> payload bytes
         self._waiters = 0  # open `wait` connections (drain barrier)
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-        # no SO_REUSEADDR: the bind is the host-0 election — exactly one
-        # worker may win it, a lingering TIME_WAIT must not elect two
+        # SO_REUSEADDR lets a restarted host-0 re-bind past TIME_WAIT
+        # remnants of its predecessor's per-op connections; it does NOT
+        # allow two simultaneous listeners, so the host-0 election (first
+        # bind wins) still elects exactly one live server
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
         self._sock.listen(64)
         self._sock.settimeout(0.5)
@@ -181,20 +184,29 @@ class TcpMergeCheckpointer:
 
     fingerprint = staticmethod(_FS.fingerprint)
 
-    def _rpc(self, header: dict, payload: bytes = b"", timeout: float = None, retries: int = 100):
-        # ~30 s of connect retries: the host-0 winner may still be in backend
-        # probing / guide-tree construction when a faster peer first calls in
+    # once connected, transfers get a generous timeout: a root-merge
+    # subgraph can be tens of MB of gzipped JSON over a cross-host link
+    TRANSFER_TIMEOUT_S = 600.0
+
+    def _rpc(self, header: dict, payload: bytes = b"", timeout: float = None, max_wait: float = 30.0):
+        """One short-lived connection per op. Connect attempts retry for up
+        to `max_wait` SECONDS (deadline-based, so unreachable-host 2 s
+        connect timeouts and instant connection-refusals behave alike): the
+        host-0 winner may still be in backend probing / guide-tree
+        construction when a faster peer first calls in."""
         last = None
-        for _ in range(retries):
+        deadline = time.time() + max_wait
+        while True:
             try:
-                with socket.create_connection((self.host, self.port), timeout=5.0) as sock:
-                    if timeout is not None:
-                        sock.settimeout(timeout)
+                with socket.create_connection((self.host, self.port), timeout=2.0) as sock:
+                    sock.settimeout(timeout if timeout is not None else self.TRANSFER_TIMEOUT_S)
                     _send_msg(sock, header, payload)
                     return _recv_msg(sock)
             except (ConnectionError, OSError) as e:
                 last = e
-                time.sleep(0.3)  # the host-0 winner may still be starting up
+                if time.time() >= deadline:
+                    break
+                time.sleep(0.3)
         raise ConnectionError(f"merge coordinator unreachable at {self.host}:{self.port}: {last}")
 
     def _gone(self, err) -> None:
@@ -261,7 +273,7 @@ class TcpMergeCheckpointer:
         try:
             header, payload = self._rpc(
                 {"op": "wait", "key": self.fingerprint(leaf_names), "timeout_s": t},
-                timeout=t + 10.0, retries=3,
+                timeout=t + 10.0, max_wait=5.0,
             )
         except ConnectionError as e:
             self._gone(e)

@@ -189,8 +189,8 @@ def test_tcp_checkpointer_degrades_when_server_dies(tmp_path):
     # server gone: degrade (with fast retry exhaustion)
     orig = peer._rpc
 
-    def fast_rpc(header, payload=b"", timeout=None, retries=100):
-        return orig(header, payload, timeout=timeout, retries=2)
+    def fast_rpc(header, payload=b"", timeout=None, max_wait=30.0):
+        return orig(header, payload, timeout=timeout, max_wait=0.5)
 
     peer._rpc = fast_rpc
     assert peer.try_claim(["b"]) is True  # solo mode: claim granted locally
