@@ -140,6 +140,9 @@ class TpuBatchAligner:
         # at most one unproven-device probe leg in flight (test-and-set)
         self._probe_lock = threading.Lock()
         self._probe_inflight = False
+        # consecutive cold-round (non-quarantining) watchdog timeouts:
+        # escalates to a real quarantine at 3 (a stalled link, not compiles)
+        self._cold_timeouts = 0
         self._probe_counts = (0, 0)  # (device, host) cells served by the last probe leg
 
     def align_many(self, jobs: list) -> list:
@@ -953,7 +956,18 @@ class TpuBatchAligner:
             cells = sum(m_pad * R_cap * B for _, _, m_pad, R_cap, B, _, _, _ in planned)
             shapes = {(m_pad, R_cap, B, K, ck) for _, _, m_pad, R_cap, B, K, _, ck in planned}
             cold = not shapes <= self._SHAPES_WARM
-            base = self.FETCH_TIMEOUT_COLD_S if cold else self.FETCH_TIMEOUT_S
+            # COLD rounds never block the build on a (remote) compile: they
+            # get a short, NON-quarantining watchdog — on timeout the round
+            # reruns on host while the detached leg finishes compiling and
+            # marks its shapes warm (in _run_planned), so the shape serves
+            # the next round. Measured r4: cold rounds blocking on tunnel
+            # compiles cost a 46 Mbp mixed build ~5x the align wall of a
+            # host-only run. Repeated cold timeouts (a genuinely stalled
+            # link) escalate to a real quarantine.
+            if cold and self._cold_timeouts < 3:
+                base, quarantine = self.PROBE_WAIT_S, False
+            else:
+                base, quarantine = (self.FETCH_TIMEOUT_COLD_S if cold else self.FETCH_TIMEOUT_S), True
             # per-job (unpadded) device cells, for the engine receipts
             dev_cells = sum(
                 self._job_cells(jobs[i], (B - 2) // 2)
@@ -969,10 +983,11 @@ class TpuBatchAligner:
                     lambda: self._run_planned(
                         jobs, planned, list(edits), list(boundary), list(overflow), fb_futs, count
                     ),
-                    base + 60.0 + cells / 1e8,
+                    base + (60.0 + cells / 1e8 if quarantine else cells / 5e8),
+                    quarantine=quarantine,
                 )
                 dt_dev = _t.time() - t_dev
-                self._SHAPES_WARM.update(shapes)
+                self._cold_timeouts = 0
                 if count:
                     self._engine_count(
                         "device", dev_cells, 0 if cold else dev_cells, 0.0 if cold else dt_dev
@@ -1062,6 +1077,12 @@ class TpuBatchAligner:
         finally:
             if round_bytes:
                 self._mem_release(round_bytes)
+        # shapes are warm once their batches have been fetched — recorded
+        # HERE (inside the leg) so a detached cold leg that outlives its
+        # round's watchdog still warms its shapes for the next round
+        self._SHAPES_WARM.update(
+            (m_pad, R_cap, B, K, ck) for _, _, m_pad, R_cap, B, K, _, ck in planned
+        )
         with trace.span("align.decode"):
             for (sub, K, _), buf in zip(launched, bufs):
                 meta = buf[:, :4]
@@ -1090,12 +1111,15 @@ class TpuBatchAligner:
                         edits[i] = self._host_fallback(j, False)
         return edits, boundary, overflow
 
-    def _watchdog_call(self, fn, timeout: float):
+    def _watchdog_call(self, fn, timeout: float, quarantine: bool = True):
         """Run fn() on a daemon thread with a stall watchdog. On timeout the
         device is quarantined (DEVICE_UNHEALTHY, half-open: a backoff
         re-probe daemon restores routing if the link recovers) and
         _DeviceStall is raised so the caller reruns the round on host.
-        The blocked thread is daemonic: it cannot hang process exit."""
+        With quarantine=False (a COLD round, likely compiling) the timeout
+        reruns on host without quarantining; the leg continues detached and
+        warms its shapes. The blocked thread is daemonic: it cannot hang
+        process exit."""
         import threading
 
         box = {}
@@ -1110,6 +1134,17 @@ class TpuBatchAligner:
 
         threading.Thread(target=run, daemon=True, name="align-round").start()
         if not done.wait(timeout):
+            if not quarantine:
+                self._cold_timeouts += 1
+                if self._cold_timeouts >= 3:
+                    # three consecutive cold rounds that never returned:
+                    # that is a stalled link, not a compile queue
+                    self._quarantine("repeated cold-round timeouts")
+                log.info(
+                    "cold device round still compiling (> %.0f s): rerunning on host; "
+                    "the leg continues and warms its shapes", timeout,
+                )
+                raise _DeviceStall()
             self._quarantine(f"device round stalled (> {timeout:.0f} s)")
             log.warning(
                 "device round stalled (> %.0f s): rerunning it on the host "

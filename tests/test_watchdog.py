@@ -295,3 +295,39 @@ def test_abandoned_probe_leg_counts_nothing_for_device(monkeypatch):
     assert rep["device"]["cells"] == 0, rep
     assert rep["host"]["cells"] > 0
     TpuBatchAligner.reset_engine_stats()
+
+
+def test_cold_round_timeout_does_not_quarantine(monkeypatch):
+    """A COLD device round (uncompiled shapes) that outlives its short
+    watchdog must rerun on host WITHOUT quarantining (it is probably a
+    remote compile, not a stall); three consecutive cold timeouts escalate
+    to a real quarantine."""
+    from pangraph_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    params = BandedAlignParams()
+    al = TpuBatchAligner(params)
+    monkeypatch.setattr(TpuBatchAligner, "DEVICE_UNHEALTHY", False)
+    monkeypatch.setattr(TpuBatchAligner, "_device_kind_cache", "tpu")
+    monkeypatch.setattr(TpuBatchAligner, "PROBE_WAIT_S", 0.2)
+    monkeypatch.setattr(TpuBatchAligner, "NATIVE_CELL_BUDGET", 0)
+    # other tests may have warmed shapes on the class-level set; this test
+    # needs its rounds COLD
+    monkeypatch.setattr(TpuBatchAligner, "_SHAPES_WARM", set())
+    # pretend the device is proven so rounds take the synchronous path
+    al._dev_rate = 1e9
+    # leg hangs (as a compile would); shapes never become warm
+    monkeypatch.setattr(
+        TpuBatchAligner, "_run_planned", lambda self, *a, **k: time.sleep(30.0)
+    )
+    jobs = _jobs(n=3, L=300, seed=21)
+    for k in range(2):
+        edits = al.align_many(jobs)
+        for j, e in zip(jobs, edits):
+            assert e == map_variations(j.ref, j.qry, j.band, params, al.extra)
+        assert not TpuBatchAligner.DEVICE_UNHEALTHY, f"quarantined on cold timeout {k+1}"
+    assert al._cold_timeouts >= 2
+    # third consecutive cold timeout: escalate
+    al.align_many(jobs)
+    assert TpuBatchAligner.DEVICE_UNHEALTHY, "three cold timeouts must quarantine"
