@@ -212,10 +212,15 @@ def main():
         sy1_dt, _g, _ = timed_build(synth, BuildArgs(circular=True, jobs=1), aligner, repeats=1)
     finally:
         _os.environ.pop("PANGRAPH_TPU_NATIVE_THREADS", None)
-    # the headline workload's kernel tiers are warmed by the smaller
-    # workloads above; best-of-2 because the VM's vCPU sees host-level
-    # steal (identical runs have measured 2x apart on this box)
-    ec_dt, ec_graph, ec_align = timed_build(ecoli, args_c, aligner, repeats=2, stats=True)
+    # HEADLINE: repeats=3. The small workloads above do NOT touch the
+    # headline's kernel tiers (r4: ~69 of 101 align-engine seconds were
+    # cold compiles inside the measured run) — rep 1 warms every shape the
+    # headline actually compiles AND converges the host/device rate EMAs,
+    # so reps 2-3 measure steady state, like the reference's "<5 min"
+    # number does. Best-of-3 because the VM's vCPU sees host-level steal
+    # (identical runs have measured 2x apart on this box). Stats (and the
+    # engine receipts) come from the last, fully warm rep.
+    ec_dt, ec_graph, ec_align = timed_build(ecoli, args_c, aligner, repeats=3, stats=True)
 
     ec = workload_report(ecoli, ec_dt, ec_graph, ec_align)
     sy = workload_report(synth, sy_dt, sy_graph)
@@ -239,6 +244,11 @@ def main():
                 "value": ec["bp_per_s"],
                 "unit": "bp/s",
                 "vs_baseline": ec["vs_baseline"],
+                # steal-robust companions to the wall-derived headline: wall
+                # plus align-engine thread-seconds (sum over engines; CPU
+                # steal inflates wall but not the engine receipts' work)
+                "wall_s": ec["wall_s"],
+                "align_engine_s": (ec.get("align") or {}).get("align_engine_s"),
                 "detail": {
                     "ecoli_class_realistic_10x4.6Mbp": ec,
                     "chromosome_scale_4x2.5Mbp_mutation_only": workload_report(scale, sc_dt, sc_graph),

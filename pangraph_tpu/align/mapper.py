@@ -560,14 +560,23 @@ def map_all_vs_all(
 
     pair_cache (one dict per self-merge fixpoint loop, caller-owned): later
     rounds of a merge re-map a block set that is mostly UNCHANGED — a pair
-    of unchanged consensuses reproduces (up to the global max_occ cutoff,
-    which can drift as other blocks change) the same chain alignments, so
+    of unchanged consensuses reproduces the same chain alignments, so
     their pre-selection records are replayed from the previous round instead
-    of re-anchored/re-chained/re-DP'd. Keys are (name, consensus digest);
-    primary/secondary selection still runs globally on the full candidate
-    set each round, so the filter semantics are unchanged."""
+    of re-anchored/re-chained/re-DP'd. Keys are (name, consensus digest)
+    PLUS the sequence's per-entry occupancy keep-mask: another block's
+    change can shift a shared minimizer run across the `>1`/`<=max_occ`
+    cutoffs (or move max_occ itself), which changes the anchor set of an
+    otherwise-unchanged pair — such sequences are invalidated, so replay is
+    EXACTLY what a fresh recompute would produce (ADVICE r4). Disable the
+    cache entirely with PANGRAPH_TPU_NO_PAIR_CACHE=1. Primary/secondary
+    selection still runs globally on the full candidate set each round, so
+    the filter semantics are unchanged."""
+    import os as _os
+
     from pangraph_tpu.utils import trace
 
+    if pair_cache is not None and _os.environ.get("PANGRAPH_TPU_NO_PAIR_CACHE"):
+        pair_cache = None
     band_params = band_params or BandedAlignParams()
     names = sorted(seqs_by_name)
     seqs = [as_seq(seqs_by_name[n]) for n in names]
@@ -585,6 +594,27 @@ def map_all_vs_all(
             unchanged = None
     with trace.span("mapper.index"):
         index = build_index(seqs, names, p)
+    occ_vecs = None
+    if pair_cache is not None:
+        # per-sequence occupancy keep-mask over its own index entries, in
+        # entry order (deterministic for an unchanged sketch: entries sort
+        # by (value, own sketch order) regardless of other sequences). The
+        # anchors of pair (q, r) are exactly the shared runs that pass
+        # `size > 1 and size <= max_occ` — so equal masks on both sides
+        # guarantee replay == fresh recompute.
+        keep_all = (index.run_size > 1) & (index.run_size <= index.max_occ)
+        occ_vecs = {
+            n: np.packbits(keep_all[index.entries_of(qi)]).tobytes()
+            for qi, n in enumerate(names)
+        }
+        if unchanged is not None:
+            prev_occ = pair_cache.get("occ", {})
+            drift = np.array([unchanged[qi] and prev_occ.get(n) != occ_vecs[n]
+                              for qi, n in enumerate(names)], dtype=bool)
+            if drift.any():
+                unchanged &= ~drift
+                if not unchanged.any():
+                    unchanged = None
     chain_p = ChainParams(
         k=p.k, max_gap=p.max_gap, bw=p.bw, min_score=p.min_chain_score, min_anchors=p.min_anchors
     )
@@ -662,6 +692,7 @@ def map_all_vs_all(
         # whole round's hits and must rerun globally every round
         pair_cache["alns"] = list(out)
         pair_cache["keys"] = digests
+        pair_cache["occ"] = occ_vecs
     # canonical candidate order BEFORE selection: select_hits breaks
     # equal-score ties by input order and filter_matches breaks equal-energy
     # ties by list index, so ordering must not depend on computation order

@@ -89,6 +89,16 @@ _SKETCH_CACHE: "OrderedDict" = None
 # LRU thrashes (every round re-sketches everything): 10^4-block pangenomes
 # at ~1 kb/block cost ~1.7 kB/entry -> ~32 MB at this cap
 _SKETCH_CACHE_MAX = int(os.environ.get("PANGRAPH_TPU_SKETCH_CACHE", 20_000))
+# entries scale with SEQUENCE LENGTH, not count: chromosome-scale consensuses
+# are MBs each, so the entry cap alone could grow the cache to multi-GB RSS
+# on Mbp-block graphs (ADVICE r4). Evict by bytes too (sum of array nbytes).
+_SKETCH_CACHE_BYTES = int(float(os.environ.get("PANGRAPH_TPU_SKETCH_CACHE_BYTES", 512 << 20)))
+_sketch_cache_bytes = 0
+_SKETCH_CACHE_LOCK = __import__("threading").Lock()
+
+
+def _mm_nbytes(mm: "Minimizers") -> int:
+    return mm.values.nbytes + mm.positions.nbytes + mm.strands.nbytes
 
 
 def sketch_cached(seq: np.ndarray, k: int, w: int) -> Minimizers:
@@ -108,14 +118,24 @@ def sketch_cached(seq: np.ndarray, k: int, w: int) -> Minimizers:
     import hashlib
 
     key = (hashlib.blake2b(seq.tobytes(), digest_size=16).digest(), k, w)
-    hit = _SKETCH_CACHE.get(key)
-    if hit is not None:
-        _SKETCH_CACHE.move_to_end(key)
-        return hit
+    with _SKETCH_CACHE_LOCK:
+        hit = _SKETCH_CACHE.get(key)
+        if hit is not None:
+            _SKETCH_CACHE.move_to_end(key)
+            return hit
     mm = sketch(seq, k, w)
-    while len(_SKETCH_CACHE) >= _SKETCH_CACHE_MAX:
-        _SKETCH_CACHE.popitem(last=False)
-    _SKETCH_CACHE[key] = mm
+    global _sketch_cache_bytes
+    nb = _mm_nbytes(mm)
+    with _SKETCH_CACHE_LOCK:
+        while _SKETCH_CACHE and (
+            len(_SKETCH_CACHE) >= _SKETCH_CACHE_MAX
+            or _sketch_cache_bytes + nb > _SKETCH_CACHE_BYTES
+        ):
+            _, old = _SKETCH_CACHE.popitem(last=False)
+            _sketch_cache_bytes -= _mm_nbytes(old)
+        if key not in _SKETCH_CACHE:
+            _SKETCH_CACHE[key] = mm
+            _sketch_cache_bytes += nb
     return mm
 
 

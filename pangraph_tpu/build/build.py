@@ -18,6 +18,11 @@ from pangraph_tpu.graph.seq import to_str
 
 log = logging.getLogger(__name__)
 
+# how long a worker waits for a peer's claimed merge before computing it
+# locally (matches the TCP checkpointer's internal default; ADVICE r4: the
+# FS transport polled forever when a claimer died after claiming)
+WAIT_FOR_TIMEOUT_S = float(__import__("os").environ.get("PANGRAPH_TPU_WAIT_FOR_TIMEOUT", 3600.0))
+
 
 def make_find_matches(args: BuildArgs, aligner=None):
     """The find_matches callable for self_merge (graph_merging.rs:176-185).
@@ -230,7 +235,11 @@ def build(records, args: BuildArgs, aligner=None, find_matches_override=None, pr
             claimed = not coordinate or ckpt.try_claim(leaf_names[id(clade)])
             if not claimed:
                 try:
-                    clade.data = ckpt.wait_for(leaf_names[id(clade)])
+                    # finite timeout on EVERY transport: FS-mode wait_for
+                    # with timeout_s=None polls forever, so a claimer that
+                    # died after claiming would hang waiters indefinitely
+                    # (ADVICE r4); degrade to local compute instead
+                    clade.data = ckpt.wait_for(leaf_names[id(clade)], timeout_s=WAIT_FOR_TIMEOUT_S)
                 except TimeoutError:
                     claimed = True  # coordinator/peer gone: compute locally
             if claimed:
@@ -304,7 +313,9 @@ def _merge_tree_parallel(
         g = None
         if coordinate and not ckpt.try_claim(leaf_names[id(c)]):
             try:
-                g = ckpt.wait_for(leaf_names[id(c)])
+                # finite timeout (see the serial path): a dead claimer must
+                # degrade to local compute on the FS transport too
+                g = ckpt.wait_for(leaf_names[id(c)], timeout_s=WAIT_FOR_TIMEOUT_S)
             except TimeoutError:
                 g = None  # coordinator/peer gone: compute locally below
         if g is None:

@@ -130,6 +130,7 @@ class TpuBatchAligner:
         self._host_rate = None
         self._dev_rate = None
         self._ckpt_rate = None  # ckpt-kernel cells/s EMA (Mbp-tier dispatch)
+        self._dev_lat = self.DEV_LATENCY_S  # per-round device overhead (s)
         # adaptive rounds since the device rate was last observable (ADVICE
         # r3: a starved device share can pin routing host-side forever)
         self._dev_starved = 0
@@ -482,6 +483,17 @@ class TpuBatchAligner:
     # rounds below this DP area are latency-dominated: not usable as
     # throughput observations for the adaptive host/device split
     RATE_MIN_CELLS = 50_000_000
+    # per-round device overhead (tunnel dispatch+fetch latency + host-side
+    # pack/decode floor), seconds. Measured 16-40 ms on the axon tunnel;
+    # ~1 ms on local silicon. Subtracted from warm-round walls when
+    # observing the device rate (so _dev_rate is a SLOPE, cells/s beyond
+    # the per-round cost) and charged back when predicting a round's wall.
+    DEV_LATENCY_S = float(os.environ.get("PANGRAPH_TPU_DEV_LATENCY", 0.03))
+    # mixed host+device routing must be PREDICTED to beat host-only by this
+    # factor before the device gets a share (VERDICT r4: break-even device
+    # participation made the 46 Mbp build slower than host-only — retries
+    # and round barriers eat any split whose predicted win is marginal)
+    MIXED_GUARANTEE = float(os.environ.get("PANGRAPH_TPU_MIXED_GUARANTEE", 0.85))
     # unproven-device probe: until a warm device rate is observed, each
     # round's device share is capped at this many cells, and the device leg
     # is detachable — if it lags PROBE_WAIT_S (a remote compile on a
@@ -495,6 +507,11 @@ class TpuBatchAligner:
     def _observe_rate(self, which: str, cells: int, secs: float) -> None:
         if cells < self.RATE_MIN_CELLS or secs <= 0:
             return
+        if which == "dev":
+            # the device rate EMA is a SLOPE: per-round overhead (latency +
+            # pack/decode floor) is modeled separately, so a round's wall is
+            # predicted as _dev_lat + cells/_dev_rate
+            secs = max(secs - self._dev_lat, 1e-3)
         obs = cells / secs
         attr = "_host_rate" if which == "host" else "_dev_rate"
         prev = getattr(self, attr)
@@ -563,19 +580,41 @@ class TpuBatchAligner:
                 # takes the bulk, the device a bounded probe share
                 budget = max(budget, sum(cells) - self.DEV_PROBE_CELLS)
         if budget < (1 << 62) and self._host_rate and self._dev_rate:
-            share = self._host_rate / (self._host_rate + self._dev_rate)
-            budget = max(budget, int(sum(cells) * share))
-            # anti-stickiness (ADVICE r3): a transient device slowdown can
-            # shrink the device share below RATE_MIN_CELLS, after which
-            # _dev_rate is never re-observed and routing cannot recover.
-            # After 8 such rounds, shrink the host share once so the device
-            # gets a rate-measurable probe round.
-            if sum(cells) >= 2 * self.RATE_MIN_CELLS:
-                if sum(cells) - budget < self.RATE_MIN_CELLS:
-                    self._dev_starved += 1
-                    if self._dev_starved >= 8:
-                        budget = min(budget, sum(cells) - self.RATE_MIN_CELLS)
-                        self._dev_starved = 0
+            # latency-aware split (VERDICT r4): the device leg's wall is
+            # _dev_lat + dev_cells/_dev_rate. The split that equalizes both
+            # legs gives the host Ch = h*(L*d + C)/(d + h); the predicted
+            # mixed wall is Ch/h. The device participates ONLY when that
+            # beats the host-only wall by MIXED_GUARANTEE — mixed mode must
+            # never lose to host-only (r4's 75 s vs 38 s regression).
+            C = sum(cells)
+            h, d, L = self._host_rate, self._dev_rate, self._dev_lat
+            host_only_wall = C / h
+            mixed_wall = (L * d + C) / (d + h)
+            if mixed_wall < host_only_wall * self.MIXED_GUARANTEE:
+                budget = max(budget, int(h * (L * d + C) / (d + h)))
+                # anti-stickiness (ADVICE r3): a transient device slowdown
+                # can shrink the device share below RATE_MIN_CELLS, after
+                # which _dev_rate is never re-observed and routing cannot
+                # recover. After 8 such rounds, shrink the host share once
+                # so the device gets a rate-measurable probe round.
+                if C >= 2 * self.RATE_MIN_CELLS:
+                    if C - budget < self.RATE_MIN_CELLS:
+                        self._dev_starved += 1
+                        if self._dev_starved >= 8:
+                            budget = min(budget, C - self.RATE_MIN_CELLS)
+                            self._dev_starved = 0
+            else:
+                # device predicted not to help this round: host-only. Every
+                # 8th such round of measurable size gives the device a
+                # rate-observation slice anyway (sized to fit inside the
+                # host leg's predicted wall), so a recovered/faster link
+                # can re-earn its share instead of staying gated forever.
+                self._dev_starved += 1
+                if self._dev_starved >= 8 and C >= 2 * self.RATE_MIN_CELLS:
+                    budget = max(budget, C - self.RATE_MIN_CELLS)
+                    self._dev_starved = 0
+                else:
+                    budget = 1 << 62
         native_set = set()
         acc = 0
         for i in sorted(range(n), key=lambda i: cells[i]):

@@ -12,7 +12,9 @@ so `build/build.py` uses it unchanged.
 Protocol: one short-lived connection per op; a 4-byte big-endian length,
 then a JSON header, then an optional raw payload (gzipped graph JSON).
 
-  claim {key, stale_s} -> {ok}        atomic claim; stale claims reassigned
+  claim {key, stale_s, tok} -> {ok}   atomic claim; stale claims reassigned;
+                                      idempotent per worker token (a retried
+                                      claim after a dropped response succeeds)
   put   {key, len}+payload -> {ok}    publish a merged subgraph; wakes waiters
   get   {key} -> {len}+payload|{len:0}   non-blocking fetch
   wait  {key, timeout_s} -> {len}+payload   blocks until published
@@ -21,6 +23,14 @@ The hosting process registers an atexit drain: it will not tear the server
 down while another worker is still blocked in `wait` for a key that was (or
 is about to be) published, so the claimer of the final merge cannot exit
 before its peers have received the root graph.
+
+SECURITY: the protocol is unauthenticated by design (it coordinates trusted
+workers of one build) — bind HOST to a loopback or private/trusted network
+interface only, never an internet-facing one. Per-message payloads are
+capped at PANGRAPH_TPU_COORD_MAX_BYTES (default 1 GiB) and total retained
+subgraph bytes at PANGRAPH_TPU_COORD_RETAIN_BYTES (default 4 GiB; oldest
+published graphs are evicted first — safe, because a missing subgraph only
+means the asking worker recomputes that merge locally).
 """
 from __future__ import annotations
 
@@ -51,20 +61,36 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
     return bytes(buf)
 
 
-def _recv_msg(sock: socket.socket):
+def _recv_msg(sock: socket.socket, max_payload: int = None):
     (n,) = _HDR.unpack(_recv_exact(sock, _HDR.size))
+    if n > 1 << 20:  # header is a small JSON dict; anything bigger is garbage
+        raise ConnectionError(f"coordinator header too large ({n} bytes)")
     header = json.loads(_recv_exact(sock, n).decode())
-    payload = _recv_exact(sock, header["len"]) if header.get("len") else b""
+    plen = int(header.get("len") or 0)
+    if plen < 0 or (max_payload is not None and plen > max_payload):
+        raise ConnectionError(f"coordinator payload too large ({plen} bytes)")
+    payload = _recv_exact(sock, plen) if plen else b""
     return header, payload
 
 
 class CoordinatorServer:
-    """In-memory claim/exchange state behind a threaded TCP accept loop."""
+    """In-memory claim/exchange state behind a threaded TCP accept loop.
+
+    Unauthenticated — bind to loopback or a trusted network only (see the
+    module docstring). Per-message payloads are capped; total retained
+    subgraph bytes are bounded by evicting the oldest published graphs
+    (a worker asking for an evicted key just recomputes that merge)."""
+
+    import os as _os
+
+    MAX_PAYLOAD = int(float(_os.environ.get("PANGRAPH_TPU_COORD_MAX_BYTES", 1 << 30)))
+    RETAIN_BYTES = int(float(_os.environ.get("PANGRAPH_TPU_COORD_RETAIN_BYTES", 4 << 30)))
 
     def __init__(self, host: str, port: int):
         self._lock = threading.Condition()
-        self._claims: dict = {}  # key -> claim time
-        self._graphs: dict = {}  # key -> payload bytes
+        self._claims: dict = {}  # key -> (claim time, worker token)
+        self._graphs: dict = {}  # key -> payload bytes (insertion-ordered)
+        self._graph_bytes = 0
         self._waiters = 0  # open `wait` connections (drain barrier)
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         # SO_REUSEADDR lets a restarted host-0 re-bind past TIME_WAIT
@@ -94,20 +120,40 @@ class CoordinatorServer:
     def _handle(self, conn: socket.socket) -> None:
         try:
             with conn:
-                header, payload = _recv_msg(conn)
+                header, payload = _recv_msg(conn, max_payload=self.MAX_PAYLOAD)
                 op, key = header["op"], header.get("key")
                 if op == "claim":
+                    tok = header.get("tok")
                     with self._lock:
-                        t = self._claims.get(key)
-                        fresh = t is not None and time.time() - t <= header.get("stale_s", 3600.0)
+                        entry = self._claims.get(key)
+                        fresh = entry is not None and time.time() - entry[0] <= header.get(
+                            "stale_s", 3600.0
+                        )
                         done = key in self._graphs
-                        ok = not fresh and not done
+                        # idempotent per worker token (ADVICE r4): a claim
+                        # retried after a dropped response must succeed for
+                        # its own holder, or the real claimant blocks on a
+                        # merge nobody is computing
+                        mine = fresh and tok is not None and entry[1] == tok
+                        ok = (not fresh or mine) and not done
                         if ok:
-                            self._claims[key] = time.time()
+                            self._claims[key] = (time.time(), tok)
                     _send_msg(conn, {"ok": ok})
                 elif op == "put":
                     with self._lock:
+                        if key not in self._graphs:
+                            self._graph_bytes += len(payload)
+                        else:
+                            self._graph_bytes += len(payload) - len(self._graphs.pop(key))
                         self._graphs[key] = payload
+                        # bound host-0 memory: evict oldest published graphs
+                        # (consumed early in the merge tree; evicting one only
+                        # costs the asker a local recompute)
+                        while self._graph_bytes > self.RETAIN_BYTES and len(self._graphs) > 1:
+                            old_key = next(iter(self._graphs))
+                            if old_key == key:
+                                break
+                            self._graph_bytes -= len(self._graphs.pop(old_key))
                         self._lock.notify_all()
                     _send_msg(conn, {"ok": True})
                 elif op == "get":
@@ -167,6 +213,11 @@ class TcpMergeCheckpointer:
         self.host, self.port = host or "127.0.0.1", int(port_s)
         self.local = local
         self.server = None
+        # per-worker claim token: claims are idempotent for their own holder
+        # (a retried claim after a dropped response must not self-deny)
+        import uuid
+
+        self._tok = uuid.uuid4().hex
         # a dead/vanished coordinator degrades to a SOLO build (claims
         # succeed locally, nothing is exchanged): coordination is a
         # work-sharing optimization, never a correctness dependency — a
@@ -218,7 +269,10 @@ class TcpMergeCheckpointer:
         if self._dead:
             return True
         try:
-            header, _ = self._rpc({"op": "claim", "key": self.fingerprint(leaf_names), "stale_s": stale_s})
+            header, _ = self._rpc(
+                {"op": "claim", "key": self.fingerprint(leaf_names), "stale_s": stale_s,
+                 "tok": self._tok}
+            )
         except ConnectionError as e:
             self._gone(e)
             return True

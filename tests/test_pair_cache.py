@@ -56,6 +56,52 @@ def test_pair_cache_recomputes_changed_blocks():
     assert sorted(map(_key, cached_run)) == sorted(map(_key, fresh_run))
 
 
+def test_pair_cache_invalidates_on_occupancy_drift():
+    """ADVICE r4: another block's change can shift a shared minimizer run
+    across the max_occ cutoff — the cached pair's anchor set then differs
+    from a fresh recompute. Scenario: A and B share segment S once each; C
+    carries 10 extra copies of S, pushing S's runs to 12 > max_occ=10, so
+    round 1 finds no A-B alignment over S. Round 2 removes C's copies: the
+    runs drop to 2 <= max_occ and a FRESH run aligns A-B — the cache must
+    invalidate A and B (their occupancy masks changed) instead of replaying
+    round 1's empty candidate set."""
+    p = MapperParams.from_sensitivity(10, 100, None)
+    p.mid_occ_frac = 0.5  # small inputs: make the occupancy quantile bite
+    rng = np.random.default_rng(7)
+    S = ACGT[rng.integers(0, 4, 600)]
+    bgA = ACGT[rng.integers(0, 4, 3000)]
+    bgB = ACGT[rng.integers(0, 4, 3000)]
+    bgC = ACGT[rng.integers(0, 4, 3000)]
+    A = np.concatenate([bgA[:1500], S, bgA[1500:]])
+    B = np.concatenate([bgB[:1500], S, bgB[1500:]])
+    C1 = np.concatenate([bgC] + [S] * 10)
+    C2 = bgC
+    cache = {}
+    r1 = map_all_vs_all({"A": A, "B": B, "C": C1}, p, pair_cache=cache)
+    assert not any({a.qry.name, a.reff.name} == {"A", "B"} for a in r1), (
+        "setup: S runs must exceed max_occ in round 1 (no A-B alignment)"
+    )
+    cached_run = map_all_vs_all({"A": A, "B": B, "C": C2}, p, pair_cache=cache)
+    fresh_run = map_all_vs_all({"A": A, "B": B, "C": C2}, p)
+    assert any({a.qry.name, a.reff.name} == {"A", "B"} for a in fresh_run), (
+        "setup: round 2 must align A-B over S"
+    )
+    assert sorted(map(_key, cached_run)) == sorted(map(_key, fresh_run))
+
+
+def test_pair_cache_env_kill_switch(monkeypatch):
+    """PANGRAPH_TPU_NO_PAIR_CACHE=1 disables replay: the cache dict stays
+    unpopulated and results equal a cache-free run."""
+    monkeypatch.setenv("PANGRAPH_TPU_NO_PAIR_CACHE", "1")
+    p = MapperParams.from_sensitivity(10, 100, None)
+    seqs = _seqs()
+    cache = {}
+    first = map_all_vs_all(dict(seqs), p, pair_cache=cache)
+    assert cache == {}, "kill switch must keep the cache unpopulated"
+    fresh = map_all_vs_all(dict(seqs), p)
+    assert sorted(map(_key, first)) == sorted(map(_key, fresh))
+
+
 def test_pair_cache_handles_removed_blocks():
     p = MapperParams.from_sensitivity(10, 100, None)
     seqs = _seqs(n=5)
