@@ -677,8 +677,9 @@ def map_all_vs_all(
     jobs = [j for js in per_query for j in js]
     edits = _align_chain_jobs(jobs, band_params, aligner)
     out = []
-    for job, edit in zip(jobs, edits):
-        out.extend(_finish_chain_alignment(job, edit))
+    with trace.span("mapper.finish"):
+        for job, edit in zip(jobs, edits):
+            out.extend(_finish_chain_alignment(job, edit))
     if pair_cache is not None:
         unchanged_names = (
             {n for n, u in zip(names, unchanged) if u} if unchanged is not None else set()
@@ -698,17 +699,18 @@ def map_all_vs_all(
     # ties by list index, so ordering must not depend on computation order
     # (fresh vs pair-cache-replayed, thread scheduling) — sort by a total
     # deterministic key instead
-    out.sort(
-        key=lambda a: (
-            a.qry.name, a.reff.name,
-            a.qry.interval.start, a.qry.interval.end,
-            a.reff.interval.start, a.reff.interval.end,
-            a.orientation, -a.matches, a.length,
+    with trace.span("mapper.select"):
+        out.sort(
+            key=lambda a: (
+                a.qry.name, a.reff.name,
+                a.qry.interval.start, a.qry.interval.end,
+                a.reff.interval.start, a.reff.interval.end,
+                a.orientation, -a.matches, a.length,
+            )
         )
-    )
-    # primary/secondary resolution + mapq (hit.c semantics; drops the
-    # near-duplicate candidates repetitive genomes otherwise flood the
-    # energy filter with)
-    from pangraph_tpu.align.hits import select_hits
+        # primary/secondary resolution + mapq (hit.c semantics; drops the
+        # near-duplicate candidates repetitive genomes otherwise flood the
+        # energy filter with)
+        from pangraph_tpu.align.hits import select_hits
 
-    return select_hits(out, p.mask_level, p.pri_ratio, p.best_n)
+        return select_hits(out, p.mask_level, p.pri_ratio, p.best_n)

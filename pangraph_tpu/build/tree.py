@@ -21,6 +21,11 @@ class Clade:
     left: "Clade" = None
     right: "Clade" = None
     name: str = None
+    # length of the edge ABOVE this clade (toward its parent), or None.
+    # The reference's parser accepts-and-ignores lengths and its serializer
+    # emits none (tree/newick.rs:41, 14-38); we keep them end to end: NJ
+    # computes standard join distances and to_newick round-trips them.
+    branch_length: float = None
 
     def is_leaf(self) -> bool:
         return self.left is None and self.right is None
@@ -43,10 +48,13 @@ class Clade:
         return self.left.n_leaves() + self.right.n_leaves()
 
     def to_newick(self) -> str:
+        def blen(c):
+            return "" if c.branch_length is None else f":{c.branch_length:g}"
+
         def rec(c):
             if c.is_leaf():
-                return c.name or ""
-            return f"({rec(c.left)},{rec(c.right)})" + (c.name or "")
+                return (c.name or "") + blen(c)
+            return f"({rec(c.left)},{rec(c.right)})" + (c.name or "") + blen(c)
 
         return rec(self) + ";"
 
@@ -59,28 +67,44 @@ def create_q_matrix(d: np.ndarray) -> np.ndarray:
     return q
 
 
-def neighbor_joining_tree(items: list, distances: np.ndarray) -> Clade:
-    """NJ over a distance matrix; items become leaf data
-    (neighbor_joining.rs:16-103)."""
-    nodes = [Clade(data=item, name=getattr(item, "name", None)) for item in items]
-    if len(nodes) == 1:
-        return nodes[0]
-    d = distances.astype(float).copy()
+def _nj_join_loop(nodes: list, d: np.ndarray) -> Clade:
+    """Shared NJ loop (neighbor_joining.rs:81-100 join_in_place), plus the
+    standard limb-length formulas the reference omits: joining i,j among n
+    nodes gives node i the branch length 0.5*d(i,j) + (Si - Sj)/(2(n-2))
+    (Saitou-Nei / the Wikipedia NJ example), node j the remainder; the final
+    two nodes split their distance evenly across the root."""
+    d = d.astype(float).copy()
     while len(nodes) > 2:
+        n = d.shape[0]
         q = create_q_matrix(d)
         flat = int(np.argmin(q))
         i, j = divmod(flat, d.shape[0])
         if i > j:
             i, j = j, i
-        merged = Clade(left=nodes[i], right=nodes[j])
-        nodes[i] = merged
+        li = 0.5 * d[i, j] + (d[i, :].sum() - d[j, :].sum()) / (2.0 * (n - 2))
+        nodes[i].branch_length = float(li)
+        nodes[j].branch_length = float(d[i, j] - li)
+        nodes[i] = Clade(left=nodes[i], right=nodes[j])
         nodes.pop(j)
         dn = 0.5 * (d[i, :] + d[j, :] - d[i, j])
         d[i, :] = dn
         d[:, i] = dn
         d[i, i] = 0.0
         d = np.delete(np.delete(d, j, axis=0), j, axis=1)
+    if len(nodes) == 1:
+        return nodes[0]
+    nodes[0].branch_length = float(0.5 * d[0, 1])
+    nodes[1].branch_length = float(0.5 * d[0, 1])
     return Clade(left=nodes[0], right=nodes[1])
+
+
+def neighbor_joining_tree(items: list, distances: np.ndarray) -> Clade:
+    """NJ over a distance matrix; items become leaf data
+    (neighbor_joining.rs:16-103)."""
+    nodes = [Clade(data=item, name=getattr(item, "name", None)) for item in items]
+    if len(nodes) == 1:
+        return nodes[0]
+    return _nj_join_loop(nodes, distances)
 
 
 def build_guide_tree(names: list, seqs: list) -> Clade:
@@ -94,23 +118,9 @@ def build_guide_tree(names: list, seqs: list) -> Clade:
 
 def neighbor_joining_tree_from_leaves(leaves: list, d: np.ndarray) -> Clade:
     nodes = list(leaves)
-    d = d.astype(float).copy()
-    while len(nodes) > 2:
-        q = create_q_matrix(d)
-        flat = int(np.argmin(q))
-        i, j = divmod(flat, d.shape[0])
-        if i > j:
-            i, j = j, i
-        nodes[i] = Clade(left=nodes[i], right=nodes[j])
-        nodes.pop(j)
-        dn = 0.5 * (d[i, :] + d[j, :] - d[i, j])
-        d[i, :] = dn
-        d[:, i] = dn
-        d[i, i] = 0.0
-        d = np.delete(np.delete(d, j, axis=0), j, axis=1)
     if len(nodes) == 1:
         return nodes[0]
-    return Clade(left=nodes[0], right=nodes[1])
+    return _nj_join_loop(nodes, d)
 
 
 def balance_tree(tree: Clade) -> Clade:
@@ -133,8 +143,11 @@ def balance_tree(tree: Clade) -> Clade:
 
 # ------------------------------------------------------------------- newick
 def parse_newick(text: str) -> Clade:
-    """Minimal Newick parser: names, optional branch lengths (ignored), strict
-    binary topology enforced by the caller (tree/newick.rs:43-140)."""
+    """Minimal Newick parser: names, optional branch lengths (KEPT on
+    Clade.branch_length; the reference accepts-and-ignores them,
+    tree/newick.rs:41), strict binary topology enforced by the caller
+    (tree/newick.rs:43-140). A ':' not followed by a number is an error
+    (newick.rs:253 parse_branch_length)."""
     text = text.strip()
     if not text.endswith(";"):
         raise ValueError("Newick string must end with ';'")
@@ -160,14 +173,17 @@ def parse_newick(text: str) -> Clade:
         start = pos
         while pos < len(s) and s[pos] not in ",():;":
             pos += 1
-        label = s[start:pos]
-        if ":" in label:
-            label = label.split(":", 1)[0]
+        label = s[start:pos]  # the scan stops at ':', so label never holds one
         node.name = label or None
         if pos < len(s) and s[pos] == ":":
             pos += 1
+            b0 = pos
             while pos < len(s) and s[pos] not in ",()":
                 pos += 1
+            try:
+                node.branch_length = float(s[b0:pos])
+            except ValueError:
+                raise ValueError(f"Newick: expected a number after ':' at position {b0}") from None
         if children:
             if len(children) != 2:
                 raise ValueError(f"Guide tree must be strictly bifurcating; found {len(children)} children")

@@ -177,4 +177,54 @@ def test_nj_tree_wikipedia_first_join():
     leaves = [Clade(data=i, name=n) for i, n in enumerate("abcde")]
     t = neighbor_joining_tree_from_leaves(leaves, d)
     nwk = t.to_newick()
-    assert "(a,b)" in nwk or "(b,a)" in nwk
+    assert "(a:2,b:3)" in nwk or "(b:3,a:2)" in nwk
+
+
+def test_nj_branch_lengths_wikipedia():
+    # the Wikipedia worked example's first join gives limb lengths
+    # delta(a,u) = 2 and delta(b,u) = 3 (standard Saitou-Nei formulas the
+    # reference's NJ omits — neighbor_joining.rs:81-100 keeps topology only)
+    from pangraph_tpu.build.tree import Clade, neighbor_joining_tree_from_leaves
+
+    d = np.array(
+        [
+            [0.0, 5.0, 9.0, 9.0, 8.0],
+            [5.0, 0.0, 10.0, 10.0, 9.0],
+            [9.0, 10.0, 0.0, 8.0, 7.0],
+            [9.0, 10.0, 8.0, 0.0, 3.0],
+            [8.0, 9.0, 7.0, 3.0, 0.0],
+        ]
+    )
+    leaves = [Clade(data=i, name=n) for i, n in enumerate("abcde")]
+    t = neighbor_joining_tree_from_leaves(leaves, d)
+    by_name = {c.name: c for c in t.postorder() if c.is_leaf()}
+    assert by_name["a"].branch_length == 2.0
+    assert by_name["b"].branch_length == 3.0
+    # every non-root edge carries a length; additivity: the a..b path sums
+    # to d(a,b) = 5
+    assert all(
+        c.branch_length is not None for c in t.postorder() if c is not t
+    )
+    assert by_name["a"].branch_length + by_name["b"].branch_length == 5.0
+
+
+def test_newick_branch_length_roundtrip():
+    # parse(serialize(tree)) reproduces names AND lengths; the reference
+    # parses-and-drops lengths (newick.rs:41,285), we keep them end to end
+    from pangraph_tpu.build.tree import parse_newick as pn
+
+    src = "((A:0.1,B:0.2)x:0.3,(C:0.4,D:1.5e-3):0.6)root;"
+    t = pn(src)
+    t2 = pn(t.to_newick())
+
+    def shape(c):
+        if c.is_leaf():
+            return (c.name, c.branch_length)
+        return (c.name, c.branch_length, shape(c.left), shape(c.right))
+
+    assert shape(t2) == shape(t)
+    leaf = {c.name: c.branch_length for c in t.postorder() if c.is_leaf()}
+    assert leaf == {"A": 0.1, "B": 0.2, "C": 0.4, "D": 0.0015}
+    # malformed: ':' without a number is an error (newick.rs:253,307)
+    with pytest.raises(ValueError, match="expected a number"):
+        pn("(A:,B);")
