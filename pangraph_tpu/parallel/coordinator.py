@@ -265,6 +265,10 @@ class TcpMergeCheckpointer:
             self._dead = True
             log.warning("merge coordinator unreachable (%s): continuing as a solo build", err)
 
+    # process-wide count of claims granted to THIS worker (multi-process
+    # tests/dryruns read it to show the merge tree was actually split)
+    CLAIMS_GRANTED = 0
+
     def try_claim(self, leaf_names, stale_s: float = 3600.0) -> bool:
         if self._dead:
             return True
@@ -276,6 +280,8 @@ class TcpMergeCheckpointer:
         except ConnectionError as e:
             self._gone(e)
             return True
+        if header["ok"]:
+            TcpMergeCheckpointer.CLAIMS_GRANTED += 1
         return bool(header["ok"])
 
     def save(self, leaf_names, graph) -> None:
