@@ -206,6 +206,35 @@ class Edit:
         # pangraph_block.rs:91-95
         return cons_len + sum(len(i.seq) for i in self.inss) - sum(d.len for d in self.dels)
 
+    # --------------------------------------------- edge-indel decomposition
+    # (edits.rs:372-415 — reweave's block-extension bookkeeping classifies
+    # indel mass into leading / trailing / internal)
+    def leading_deletions(self) -> int:
+        return sum(d.len for d in self.dels if d.pos == 0)
+
+    def trailing_deletions(self, cons_len: int) -> int:
+        return sum(d.len for d in self.dels if d.end == cons_len)
+
+    def internal_deletions(self, cons_len: int) -> int:
+        total = sum(d.len for d in self.dels)
+        return total - self.leading_deletions() - self.trailing_deletions(cons_len)
+
+    def leading_insertions(self) -> int:
+        return sum(len(i.seq) for i in self.inss if i.pos == 0)
+
+    def trailing_insertions(self, cons_len: int) -> int:
+        return sum(len(i.seq) for i in self.inss if i.pos == cons_len)
+
+    def internal_insertions(self, cons_len: int) -> int:
+        total = sum(len(i.seq) for i in self.inss)
+        return total - self.leading_insertions() - self.trailing_insertions(cons_len)
+
+    def has_dels(self) -> bool:
+        return bool(self.dels)
+
+    def has_inss(self) -> bool:
+        return bool(self.inss)
+
     # ------------------------------------------------------------ band stats
     def _aligned_count_after_vec(self, ps: np.ndarray, cons_len: int) -> np.ndarray:
         """aligned_count_after for a vector of positions, O((E+P) log E).

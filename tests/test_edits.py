@@ -58,6 +58,96 @@ def test_empty_alignment():
     assert Edit(dels=[Del(0, 4)]).is_empty_alignment(cons)
 
 
+def test_edits_apply_simple_case():
+    # edits.rs:665-678: one ins + one del + one sub on the same sequence
+    e = Edit(subs=[Sub(8, "A")], dels=[Del(6, 1)], inss=[Ins(1, "G")])
+    assert S(e.apply(as_seq("ACCTGGCTTT"))) == "AGCCTGGTAT"
+
+
+def test_leading_deletions():
+    # edits.rs:754-768
+    assert Edit(dels=[Del(0, 3), Del(6, 2)]).leading_deletions() == 3
+    assert Edit(dels=[Del(1, 3)]).leading_deletions() == 0
+
+
+def test_trailing_deletions():
+    # edits.rs:771-787
+    assert Edit(dels=[Del(8, 2), Del(0, 3)]).trailing_deletions(10) == 2
+    assert Edit(dels=[Del(4, 3)]).trailing_deletions(10) == 0
+
+
+def test_internal_deletions():
+    # edits.rs:789-805
+    assert Edit(dels=[Del(0, 2), Del(4, 2), Del(8, 2)]).internal_deletions(10) == 2
+    assert Edit(dels=[Del(1, 3), Del(5, 2)]).internal_deletions(10) == 5
+
+
+def test_leading_insertions():
+    # edits.rs:807-822
+    assert Edit(inss=[Ins(0, "AAA"), Ins(5, "GGG")]).leading_insertions() == 3
+    assert Edit(inss=[Ins(1, "AAA")]).leading_insertions() == 0
+
+
+def test_trailing_insertions():
+    # edits.rs:824-840
+    assert Edit(inss=[Ins(10, "TTT"), Ins(0, "AAAA")]).trailing_insertions(10) == 3
+    assert Edit(inss=[Ins(5, "TTT")]).trailing_insertions(10) == 0
+
+
+def test_internal_insertions():
+    # edits.rs:842-858
+    assert Edit(inss=[Ins(0, "AAA"), Ins(5, "GGG"), Ins(10, "TTT")]).internal_insertions(10) == 3
+    assert Edit(inss=[Ins(1, "AAA"), Ins(5, "GGG")]).internal_insertions(10) == 6
+
+
+def test_aligned_count_after_multiple_deletions():
+    # edits.rs:908-922: dels at 3..7 and 10..13, cons_len 20
+    e = Edit(dels=[Del(3, 4), Del(10, 3)])
+    assert e.aligned_count_after(0, 20) == 13
+    assert e.aligned_count_after(5, 20) == 10
+    assert e.aligned_count_after(12, 20) == 7
+    assert e.aligned_count_after(13, 20) == 7
+    assert e.aligned_count_after(17, 20) == 3
+
+
+def test_has_indels():
+    # edits.rs:1165-1186
+    assert not Edit(subs=[Sub(1, "A")]).has_indels()
+    assert Edit(dels=[Del(5, 2)]).has_indels()
+    assert Edit(inss=[Ins(10, "ATG")]).has_indels()
+    assert Edit(subs=[Sub(1, "A")], dels=[Del(5, 2)], inss=[Ins(10, "ATG")]).has_indels()
+    assert not Edit.empty().has_indels()
+
+
+def test_has_dels_inss_subs():
+    # edits.rs:1188-1231
+    assert not Edit(subs=[Sub(1, "A")], inss=[Ins(10, "ATG")]).has_dels()
+    assert Edit(dels=[Del(5, 2)]).has_dels()
+    assert not Edit.empty().has_dels()
+    assert not Edit(subs=[Sub(1, "A")], dels=[Del(5, 2)]).has_inss()
+    assert Edit(inss=[Ins(10, "ATG")]).has_inss()
+    assert not Edit.empty().has_inss()
+    assert not Edit(dels=[Del(5, 2)], inss=[Ins(10, "ATG")]).has_subs()
+    assert Edit(subs=[Sub(1, "A")]).has_subs()
+    assert not Edit.empty().has_subs()
+
+
+def test_is_position_deleted():
+    # edits.rs:1233-1274
+    e = Edit(subs=[Sub(1, "A")], inss=[Ins(10, "ATG")])
+    assert not any(e.is_position_deleted(p) for p in (0, 5, 10))
+    e = Edit(dels=[Del(5, 3)])
+    assert not e.is_position_deleted(4)
+    assert e.is_position_deleted(5) and e.is_position_deleted(6) and e.is_position_deleted(7)
+    assert not e.is_position_deleted(8)
+    e = Edit(dels=[Del(2, 2), Del(8, 2)])
+    assert [p for p in range(11) if e.is_position_deleted(p)] == [2, 3, 8, 9]
+    e = Edit(dels=[Del(10, 1)])
+    assert not e.is_position_deleted(9) and e.is_position_deleted(10) and not e.is_position_deleted(11)
+    assert not Edit.empty().is_position_deleted(0)
+    assert not Edit.empty().is_position_deleted(100)
+
+
 def test_aligned_count():
     assert Edit.empty().aligned_count(10) == 10
     assert Edit(subs=[Sub(0, "A")], dels=[Del(3, 2), Del(6, 1)]).aligned_count(10) == 7
@@ -80,6 +170,9 @@ def test_aligned_count_after():
 @pytest.mark.parametrize(
     "edit,cons_len,expected",
     [
+        (Edit(), 10, 0),
+        (Edit(inss=[Ins(0, "AA")]), 10, -2),
+        (Edit(inss=[Ins(10, "AA")]), 10, 0),
         (Edit(dels=[Del(2, 2)]), 10, 2),
         (Edit(dels=[Del(8, 2)]), 10, 0),
         (Edit(dels=[Del(0, 3)], inss=[Ins(3, "AA")]), 10, 1),
