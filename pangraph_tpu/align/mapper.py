@@ -79,8 +79,15 @@ class MinimizerIndex:
     # query, so no per-query searchsorted is needed)
     run_start: np.ndarray = None  # int64 per entry
     run_size: np.ndarray = None  # int64 per entry
-    sid_order: np.ndarray = None  # entry indices grouped by seq id
-    sid_bounds: np.ndarray = None  # group boundaries into sid_order
+    # entries grouped by seq id IN SKETCH ORDER: sid_order[bounds[i]:bounds[i+1]]
+    # are sequence i's sorted-array slots, ordered by its own sketch positions
+    # (the pre-sort concatenation is grouped by sequence, so this is the
+    # inverse permutation of the value sort — no second argsort needed, and
+    # sketch order is round-stable for an unchanged sketch regardless of how
+    # other sequences shuffle the value ties, which is exactly what the
+    # pair-cache occupancy masks need)
+    sid_order: np.ndarray = None  # int64: concat position -> sorted slot
+    sid_bounds: np.ndarray = None  # per-seq boundaries into concat order
 
     def entries_of(self, qi: int) -> np.ndarray:
         return self.sid_order[self.sid_bounds[qi] : self.sid_bounds[qi + 1]]
@@ -107,7 +114,12 @@ def build_index(seqs: list, names: list, p: MapperParams) -> MinimizerIndex:
     seq_ids = np.concatenate(sids) if sids else np.zeros(0, dtype=np.int32)
     positions = np.concatenate(poss) if poss else np.zeros(0, dtype=np.int64)
     strands = np.concatenate(strs) if strs else np.zeros(0, dtype=np.uint8)
-    order = np.argsort(values, kind="stable")
+    # quicksort, not stable: within-run tie order is free to be arbitrary —
+    # run membership/keep status depends only on the run, chaining lexsorts
+    # its anchors, and the per-seq entry lists below use sketch order via
+    # the inverse permutation. Measured 3-4x faster than the radix sort at
+    # the headline's ~700k-entry index, 34+ rebuilds per build.
+    order = np.argsort(values, kind="quicksort")
     values, seq_ids, positions, strands = values[order], seq_ids[order], positions[order], strands[order]
     # equal-value runs + per-sequence entry lists (self-join support)
     n = len(values)
@@ -118,8 +130,14 @@ def build_index(seqs: list, names: list, p: MapperParams) -> MinimizerIndex:
         sizes = np.bincount(run_id)
         run_start = starts[run_id]
         run_size = sizes[run_id]
-        sid_order = np.argsort(seq_ids, kind="stable").astype(np.int64)
-        sid_bounds = np.searchsorted(seq_ids[sid_order], np.arange(len(names) + 1))
+        # inverse permutation: concat position -> sorted slot. The concat is
+        # grouped by sequence, so per-seq slices of `inv` are the entry
+        # lists (in sketch order) — no argsort over seq_ids needed.
+        sid_order = np.empty(n, dtype=np.int64)
+        sid_order[order] = np.arange(n, dtype=np.int64)
+        sid_bounds = np.concatenate(
+            ([0], np.cumsum([len(v) for v in vals], dtype=np.int64))
+        )
     else:
         run_start = run_size = np.zeros(0, dtype=np.int64)
         sid_order = np.zeros(0, dtype=np.int64)

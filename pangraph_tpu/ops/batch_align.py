@@ -110,6 +110,23 @@ class _DeviceStall(RuntimeError):
     """A device round produced nothing within the watchdog timeout."""
 
 
+class _BrokerTicket:
+    """One submission's slot in a coalesced device round."""
+
+    __slots__ = ("ev", "out", "exc")
+
+    def __init__(self):
+        self.ev = _threading.Event()
+        self.out = None
+        self.exc = None
+
+    def result(self):
+        self.ev.wait()
+        if self.exc is not None:
+            raise self.exc
+        return self.out
+
+
 class TpuBatchAligner:
     """Batched aligner backed by the JAX stripe kernel.
 
@@ -141,6 +158,17 @@ class TpuBatchAligner:
         # at most one unproven-device probe leg in flight (test-and-set)
         self._probe_lock = threading.Lock()
         self._probe_inflight = False
+        # cross-thread device round broker (proven-device path only):
+        # concurrent merge threads' device legs coalesce into ONE kernel
+        # round — bigger groups amortize the DP's per-row latency (g=64 is
+        # ~3x the row rate of g=8 on v5e) and the ~30 ms tunnel latency is
+        # paid once per combined round instead of once per thread. While a
+        # combined round is in flight, later submissions queue for the next
+        # one (natural pipelining). VERDICT r4 item 2.
+        self._broker_lock = threading.Lock()
+        self._broker_queue = []  # (jobs, widths, kbumps, ticket)
+        self._broker_wake = threading.Event()
+        self._broker_running = False
         # consecutive cold-round (non-quarantining) watchdog timeouts:
         # escalates to a real quarantine at 3 (a stalled link, not compiles)
         self._cold_timeouts = 0
@@ -744,22 +772,22 @@ class TpuBatchAligner:
                 for i in dev_idx:
                     edits[i] = self._host_fallback(jobs[i])
         elif dev_idx and nat_idx:
-            # overlap: host C++ releases the GIL; device round mostly waits
-            import concurrent.futures as _cf
-
-            with _cf.ThreadPoolExecutor(max_workers=1) as pool:
-                fut = pool.submit(run_native)
-                e, b, o = run_device(
-                    [jobs[i] for i in dev_idx], [widths[i] for i in dev_idx], [kbumps[i] for i in dev_idx]
-                )
-                fut.result()
+            # overlap: submit the device leg to the broker (it may coalesce
+            # with sibling threads' legs into one kernel round), run the
+            # host leg meanwhile, then collect
+            tk = self._broker_submit(
+                [jobs[i] for i in dev_idx], [widths[i] for i in dev_idx], [kbumps[i] for i in dev_idx]
+            )
+            run_native()
+            e, b, o = tk.result()
             for s, i in enumerate(dev_idx):
                 edits[i], boundary[i], overflow[i] = e[s], b[s], o[s]
         elif nat_idx:
             run_native()
         else:
-            e, b, o = run_device(jobs, widths, kbumps)
-            edits, boundary, overflow = e, b, o
+            tk = self._broker_submit(list(jobs), list(widths), list(kbumps))
+            e, b, o = tk.result()
+            edits, boundary, overflow = list(e), list(b), list(o)
         if stats:
             self.STATS.append(
                 (
@@ -773,6 +801,88 @@ class TpuBatchAligner:
         # count=False: a probe leg whose results may be discarded — the
         # caller records the engine receipt only if it uses the results
         return self._run_round_v2(jobs, widths, kbumps or [1] * len(jobs), count=count)
+
+    # ------------------------------------------------- device round broker
+    # Coalesces concurrent merge threads' device legs into one kernel round
+    # (proven-device path only; probe/cold machinery is untouched). Gains:
+    # bigger groups amortize the stripe DP's per-row latency (g=64 ~3x the
+    # row rate of g=8 on v5e), the ~16-40 ms tunnel latency is paid once
+    # per combined round, and rate observations clear RATE_MIN_CELLS more
+    # often. While one combined round is in flight, later submissions queue
+    # for the next (pipelining). VERDICT r4 item 2.
+    BROKER_GATHER_S = float(os.environ.get("PANGRAPH_TPU_BROKER_GATHER", 0.008))
+
+    def _broker_submit(self, d_jobs: list, d_widths: list, d_kbumps: list) -> _BrokerTicket:
+        tk = _BrokerTicket()
+        with self._broker_lock:
+            self._broker_queue.append((d_jobs, d_widths, d_kbumps, tk))
+            spawn = not self._broker_running
+            if spawn:
+                self._broker_running = True
+            self._broker_wake.set()
+        if spawn:
+            _threading.Thread(target=self._broker_loop, daemon=True, name="device-broker").start()
+        return tk
+
+    def _broker_loop(self) -> None:
+        import time as _t
+
+        try:
+            while True:
+                with self._broker_lock:
+                    batch = self._broker_queue
+                    self._broker_queue = []
+                    if not batch:
+                        self._broker_wake.clear()
+                if not batch:
+                    # idle: linger briefly for the next round, then stand
+                    # down (a later submit respawns the thread)
+                    if not self._broker_wake.wait(2.0):
+                        with self._broker_lock:
+                            if not self._broker_queue:
+                                self._broker_running = False
+                                return
+                    continue
+                if len(batch) == 1:
+                    # brief gather window: a sibling merge thread's round
+                    # usually arrives within a few ms of the first
+                    _t.sleep(self.BROKER_GATHER_S)
+                    with self._broker_lock:
+                        batch += self._broker_queue
+                        self._broker_queue = []
+                jobs, widths, kbumps, slices = [], [], [], []
+                for jj, ww, kk, tk in batch:
+                    slices.append((len(jobs), len(jj), tk))
+                    jobs += jj
+                    widths += ww
+                    kbumps += kk
+                warm_before = len(self._SHAPES_WARM)
+                t0 = _t.time()
+                try:
+                    e, b, o = self._dispatch_device(jobs, widths, kbumps)
+                except BaseException as ex:
+                    for _s0, _n, tk in slices:
+                        tk.exc = ex
+                        tk.ev.set()
+                    continue
+                dt = _t.time() - t0
+                if len(self._SHAPES_WARM) == warm_before and not self.DEVICE_UNHEALTHY:
+                    cells = sum(self._job_cells(j, w) for j, w in zip(jobs, widths))
+                    self._observe_rate("dev", cells, dt)
+                for s0, n, tk in slices:
+                    tk.out = (e[s0 : s0 + n], b[s0 : s0 + n], o[s0 : s0 + n])
+                    tk.ev.set()
+        except BaseException:
+            # never die with tickets (or the running flag) latched
+            with self._broker_lock:
+                self._broker_running = False
+                queued = self._broker_queue
+                self._broker_queue = []
+            for *_, tk in queued:
+                tk.exc = RuntimeError("device broker crashed")
+                tk.ev.set()
+            log.warning("device broker crashed; later rounds respawn it", exc_info=True)
+            raise
 
     def _run_round_native(self, jobs: list, widths: list):
         """Host C++ round: banded stripe DP + traceback per job, threaded
