@@ -199,6 +199,41 @@ def collect_anchors_self(index: MinimizerIndex, qi: int, skip_unchanged: np.ndar
     return rid, rpos, qpos, rel
 
 
+def collect_anchors_all(index: MinimizerIndex, skip_unchanged: np.ndarray = None):
+    """All-vs-all anchors for EVERY query in ONE vectorized pass over the
+    index (the round-level form of collect_anchors_self: per-query calls
+    cost ~0.4 ms of numpy overhead x ~550 queries x ~34 rounds on the
+    headline build). Every kept entry (run size in (1, max_occ]) expands
+    its equal-value run; -X semantics (rid < qi) and the pair-cache skip
+    are applied globally. Returns (qi, rid, rpos, qpos, rel) arrays; pair
+    and anchor order is arbitrary (chaining lexsorts internally)."""
+    z = np.zeros(0, dtype=np.int64)
+    empty = (z.astype(np.int32), z.astype(np.int32), z, z, z.astype(np.uint8))
+    if len(index.values) == 0:
+        return empty
+    sz = index.run_size
+    slots = np.flatnonzero((sz > 1) & (sz <= index.max_occ))
+    if len(slots) == 0:
+        return empty
+    s_sz = sz[slots]
+    total = int(s_sz.sum())
+    rep = np.repeat(np.arange(len(slots)), s_sz)
+    offs = np.arange(total) - np.repeat(np.cumsum(s_sz) - s_sz, s_sz)
+    qslot = slots[rep]
+    flat = index.run_start[qslot] + offs
+    qi = index.seq_ids[qslot]
+    rid = index.seq_ids[flat]
+    mask = rid < qi
+    if skip_unchanged is not None:
+        mask &= ~(skip_unchanged[qi] & skip_unchanged[rid])
+    qslot, flat = qslot[mask], flat[mask]
+    qi, rid = qi[mask], rid[mask]
+    rpos = index.positions[flat]
+    qpos = index.positions[qslot]
+    rel = (index.strands[flat] != index.strands[qslot]).astype(np.uint8)
+    return qi, rid, rpos, qpos, rel
+
+
 def collect_anchors(index: MinimizerIndex, qmm: Minimizers, qid: int):
     """Match query minimizers against the index -> anchor arrays
     (rid, rpos, qpos, rel_strand)."""
@@ -637,62 +672,78 @@ def map_all_vs_all(
         k=p.k, max_gap=p.max_gap, bw=p.bw, min_score=p.min_chain_score, min_anchors=p.min_anchors
     )
 
-    def query_jobs(qi: int) -> list:
-        jobs = []
-        qname = names[qi]
+    # ONE vectorized anchor pass for the whole round (-X all-vs-all via the
+    # index self-join, rid < qi built in; both-unchanged pairs served from
+    # pair_cache instead), then chain per (query, target, strand) group
+    with trace.span("mapper.anchors"):
+        a_qi, a_rid, a_rpos, a_qpos, a_rel = collect_anchors_all(index, unchanged)
+        n_seqs = len(names)
+        key = (a_qi.astype(np.int64) * n_seqs + a_rid) * 2 + a_rel
+        order = np.argsort(key, kind="quicksort")
+        key_s = key[order]
+        if len(key_s):
+            starts = np.concatenate(([0], np.flatnonzero(key_s[1:] != key_s[:-1]) + 1, [len(key_s)]))
+        else:
+            starts = np.zeros(1, dtype=np.int64)
+
+    rc_cache = {}
+
+    def rc_of(qi: int):
+        rc = rc_cache.get(qi)
+        if rc is None:
+            rc = rc_cache[qi] = revcomp(seqs[qi])
+        return rc
+
+    def group_jobs(gi: int) -> list:
+        s0, s1 = int(starts[gi]), int(starts[gi + 1])
+        sel = order[s0:s1]
+        k = int(key_s[s0])
+        strand_rel = k & 1
+        ri = (k >> 1) % n_seqs
+        qi = (k >> 1) // n_seqs
         qseq = seqs[qi]
-        with trace.span("mapper.anchors"):
-            # -X all-vs-all via the index self-join (rid < qi built in);
-            # both-unchanged pairs are served from pair_cache instead
-            rid, rpos, qpos, rel = collect_anchors_self(index, qi, unchanged)
-        if len(rid) == 0:
-            return jobs
         qlen = len(qseq)
-        rc_qry = revcomp(qseq) if (rel == 1).any() else None
+        rpos_g = a_rpos[sel]
+        qpos_g = a_qpos[sel]
         # reverse matches: chain in revcomp-query coordinates
-        q_eff = np.where(rel == 1, qlen - qpos - p.k, qpos)
-        # chain per (target, strand) group
-        group = rid.astype(np.int64) * 2 + rel
+        q_eff = (qlen - qpos_g - p.k) if strand_rel else qpos_g
+        rc_qry = rc_of(qi) if strand_rel else None
+        jobs = []
         with trace.span("mapper.chain"):
-            for g in np.unique(group):
-                sel = group == g
-                ri = int(g // 2)
-                strand_rel = int(g % 2)
-                chains, _scores = chain_anchors(rpos[sel], q_eff[sel], chain_p)
-                r_sel = rpos[sel]
-                q_sel = q_eff[sel]
-                for chain in chains:
-                    cr_full = r_sel[chain]
-                    cq_full = q_sel[chain]
-                    for s, e in split_chain_at_jumps(cr_full, cq_full, p.diag_break, p.max_gap):
-                        if e - s < p.min_anchors:
-                            continue
-                        jobs.append(
-                            _prepare_chain_job(
-                                seqs[ri],
-                                qseq,
-                                rc_qry,
-                                names[ri],
-                                qname,
-                                int(index.lengths[ri]),
-                                qlen,
-                                cr_full[s:e],
-                                cq_full[s:e],
-                                strand_rel,
-                                p,
-                            )
+            chains, _scores = chain_anchors(rpos_g, q_eff, chain_p)
+            for chain in chains:
+                cr_full = rpos_g[chain]
+                cq_full = q_eff[chain]
+                for s, e in split_chain_at_jumps(cr_full, cq_full, p.diag_break, p.max_gap):
+                    if e - s < p.min_anchors:
+                        continue
+                    jobs.append(
+                        _prepare_chain_job(
+                            seqs[ri],
+                            qseq,
+                            rc_qry,
+                            names[ri],
+                            names[qi],
+                            int(index.lengths[ri]),
+                            qlen,
+                            cr_full[s:e],
+                            cq_full[s:e],
+                            strand_rel,
+                            p,
                         )
+                    )
         return jobs
 
-    n_threads = max(1, min(n_threads, len(names)))
-    if n_threads > 1:
+    n_groups = len(starts) - 1
+    n_threads = max(1, min(n_threads, n_groups)) if n_groups else 1
+    if n_threads > 1 and n_groups > 1:
         import concurrent.futures as _cf
 
         with _cf.ThreadPoolExecutor(max_workers=n_threads) as pool:
-            per_query = list(pool.map(query_jobs, range(len(names))))
+            per_group = list(pool.map(group_jobs, range(n_groups)))
     else:
-        per_query = [query_jobs(qi) for qi in range(len(names))]
-    jobs = [j for js in per_query for j in js]
+        per_group = [group_jobs(gi) for gi in range(n_groups)]
+    jobs = [j for js in per_group for j in js]
     edits = _align_chain_jobs(jobs, band_params, aligner)
     out = []
     with trace.span("mapper.finish"):

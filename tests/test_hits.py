@@ -206,3 +206,36 @@ def test_self_join_anchor_equivalence():
         legacy = set(zip(rid0[m], rpos0[m], qpos0[m], rel0[m]))
         rid1, rpos1, qpos1, rel1 = collect_anchors_self(idx, qi)
         assert set(zip(rid1, rpos1, qpos1, rel1)) == legacy, qi
+
+
+def test_global_anchor_pass_equivalence():
+    """collect_anchors_all (one vectorized pass for the whole round) must
+    produce exactly the union of per-query collect_anchors_self sets."""
+    import numpy as np
+
+    from pangraph_tpu.align.mapper import (
+        MapperParams,
+        build_index,
+        collect_anchors_all,
+        collect_anchors_self,
+    )
+
+    rng = np.random.default_rng(44)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    base = ACGT[rng.integers(0, 4, 25000)]
+    seqs = []
+    for i in range(5):
+        g = base.copy()
+        sub = rng.choice(len(g), 250, replace=False)
+        g[sub] = ACGT[rng.integers(0, 4, 250)]
+        seqs.append(g)
+    p = MapperParams()
+    idx = build_index(seqs, [f"s{i}" for i in range(5)], p)
+    for unchanged in (None, np.array([True, True, False, True, False])):
+        per_query = set()
+        for qi in range(5):
+            rid, rpos, qpos, rel = collect_anchors_self(idx, qi, unchanged)
+            per_query |= {(qi, *t) for t in zip(rid, rpos, qpos, rel)}
+        a_qi, a_rid, a_rpos, a_qpos, a_rel = collect_anchors_all(idx, unchanged)
+        global_set = set(zip(a_qi, a_rid, a_rpos, a_qpos, a_rel))
+        assert global_set == per_query
