@@ -234,6 +234,12 @@ class Pangraph:
                 out.append(bid)
         return out
 
+    def newick_name(self) -> str:
+        """Label for a guide-tree clade holding this graph: its named paths
+        joined with '|', or None if no path is named (pangraph.rs:280-283)."""
+        names = [p.name for p in self.paths.values() if p.name]
+        return "|".join(names) if names else None
+
     def path_id_by_name(self, name: str) -> int:
         for pid, p in self.paths.items():
             if p.name == name:

@@ -193,3 +193,62 @@ def test_find_majority_deletions_event_sweep_matches_dense():
             else:
                 i += 1
         assert got == want, (trial, got, want)
+
+
+def test_graph_update_reference():
+    # pangraph.rs:314-411 test_graph_update: splice block 2's nodes out of
+    # every path, replacing each with its two new nodes in path order
+    from pangraph_tpu.graph.graph import GraphUpdate
+
+    def nd(nid, bid, pid, strand="+"):
+        return Node(nid, bid, pid, strand, (0, 0))
+
+    nodes = {
+        1: nd(1, 1, 1), 2: nd(2, 1, 3), 3: nd(3, 2, 1), 4: nd(4, 2, 2),
+        5: nd(5, 2, 3, "-"), 6: nd(6, 3, 1), 7: nd(7, 3, 2), 8: nd(8, 3, 3),
+    }
+    blocks = {
+        1: Block(1, "A", {1: Edit(), 2: Edit()}),
+        2: Block(2, "C", {3: Edit(), 4: Edit(), 5: Edit()}),
+        3: Block(3, "G", {6: Edit(), 7: Edit(), 8: Edit()}),
+    }
+    paths = {
+        1: Path(1, [1, 3, 6], 0, False),
+        2: Path(2, [4, 7], 0, False),
+        3: Path(3, [2, 5, 8], 0, False),
+    }
+    g = Pangraph(paths=paths, blocks=blocks, nodes=nodes)
+    new_nodes = {
+        9: nd(9, 4, 1), 10: nd(10, 5, 1, "-"), 11: nd(11, 4, 2),
+        12: nd(12, 5, 2, "-"), 13: nd(13, 4, 3, "-"), 14: nd(14, 5, 3),
+    }
+    new_blocks = [Block(4, "T", {}), Block(5, "AA", {})]
+    u = GraphUpdate(
+        b_old_id=2,
+        b_new=new_blocks,
+        n_new={
+            3: [new_nodes[9], new_nodes[10]],
+            4: [new_nodes[11], new_nodes[12]],
+            5: [new_nodes[14], new_nodes[13]],
+        },
+    )
+    g.update(u)
+    assert set(g.blocks) == {1, 3, 4, 5}
+    assert g.paths[1].nodes == [1, 9, 10, 6]
+    assert g.paths[2].nodes == [11, 12, 7]
+    assert g.paths[3].nodes == [2, 14, 13, 8]
+    assert set(g.nodes) == {1, 2, 6, 7, 8, 9, 10, 11, 12, 13, 14}
+
+
+def test_newick_name_reference():
+    # pangraph.rs:437-455 test_newick_no_graph / test_newick_name cases
+    def with_names(names):
+        paths = {
+            i: Path(i, [], 0, False, name=n) for i, n in enumerate(names)
+        }
+        return Pangraph(paths=paths, blocks={}, nodes={})
+
+    assert with_names(["isolate_A"]).newick_name() == "isolate_A"
+    assert with_names([None]).newick_name() is None
+    assert with_names(["a", "b", "c"]).newick_name() == "a|b|c"
+    assert with_names(["a", None, "c"]).newick_name() == "a|c"
