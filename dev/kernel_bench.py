@@ -23,8 +23,12 @@ On CPU-only hosts the device kernels would run in Pallas interpret mode
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# `python dev/kernel_bench.py` puts dev/ (not the repo root) on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -217,9 +217,8 @@ def collect_anchors_all(index: MinimizerIndex, skip_unchanged: np.ndarray = None
         return empty
     s_sz = sz[slots]
     total = int(s_sz.sum())
-    rep = np.repeat(np.arange(len(slots)), s_sz)
+    qslot = np.repeat(slots, s_sz)
     offs = np.arange(total) - np.repeat(np.cumsum(s_sz) - s_sz, s_sz)
-    qslot = slots[rep]
     flat = index.run_start[qslot] + offs
     qi = index.seq_ids[qslot]
     rid = index.seq_ids[flat]
