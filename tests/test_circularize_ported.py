@@ -190,3 +190,90 @@ def test_merge_blocks_end_to_end_a():
     assert n1p.position == (0, 61) and n1p.strand == FWD
     assert n2p.position == (10, 72) and n2p.strand == FWD
     assert n3p.position == (5, 5) and n3p.strand == REV
+
+
+def _assert_merged(g, exp_consensus, exp_aln_by_old, strands, positions):
+    """Shared checks for merge_blocks/remove_transitive_edges e2e cases:
+    blocks 1+2 merged (block 3 untouched), per-path node strand/position,
+    and the merged block's alignments keyed back through each path's first
+    node (new node ids are content hashes)."""
+    assert len(g.blocks) == 2
+    assert [len(p.nodes) for p in g.paths.values()] == [2, 2, 1]
+    merged_bid = g.nodes[g.paths[1].nodes[0]].block_id
+    blk = g.blocks[merged_bid]
+    assert to_str(blk.consensus) == exp_consensus
+    for old, pid in ((1, 1), (2, 2), (3, 3)):
+        n = g.nodes[g.paths[pid].nodes[0]]
+        assert n.strand == strands[old], (old, n)
+        assert n.position == positions[old], (old, n)
+        assert blk.alignments[n.id] == exp_aln_by_old[old], old
+    g.sanity_check()
+
+
+# expected merged alignments, keyed by the ORIGINAL block-1 node (1, 2, 3)
+# (merge_blocks.rs expected_concat_a/b/c)
+EXP_ALN_A = {
+    1: Edit([Sub(3, "G")], [Del(36, 2)], []),
+    2: Edit([Sub(59, "A")], [Del(13, 3)], [Ins(7, "AA")]),
+    3: Edit([], [Del(61, 2)], [Ins(32, "CCC"), Ins(63, "AAA")]),
+}
+EXP_ALN_B = {
+    1: Edit([Sub(34, "G")], [Del(4, 2)], []),
+    2: Edit([Sub(27, "A")], [Del(44, 3)], [Ins(38, "AA")]),
+    3: Edit([], [Del(29, 2)], [Ins(31, "AAA"), Ins(63, "CCC")]),
+}
+EXP_ALN_C = {
+    1: Edit([Sub(3, "G")], [Del(57, 2)], []),
+    2: Edit([Sub(35, "T")], [Del(13, 3)], [Ins(7, "AA")]),
+    3: Edit([], [Del(32, 2)], [Ins(32, "CCCTTT")]),
+}
+CONS_AB_A = "ACTATATTACGGCGATCGATCGATTACTCGCTCGACTCCTATGATAGGGATGATCCTAAGATC"
+CONS_AB_B = "CGACTCCTATGATAGGGATGATCCTAAGATCACTATATTACGGCGATCGATCGATTACTCGCT"
+CONS_AB_C = "ACTATATTACGGCGATCGATCGATTACTCGCTGATCTTAGGATCATCCCTATCATAGGAGTCG"
+POS_ABC = {1: (0, 61), 2: (10, 72), 3: (5, 5)}
+
+
+def test_find_node_pairings_b_reference():
+    # merge_blocks.rs test_find_node_pairings_b: graph_a with b1+ -> b2- edge
+    pairings, _ = find_node_pairings(_graph(GRAPH_A_STRANDS), Edge(SimpleNode(1, FWD), SimpleNode(2, REV)))
+    assert pairings == {1: 4, 2: 5, 3: 6, 4: 1, 5: 2, 6: 3}
+
+
+def test_find_node_pairings_c_reference():
+    # merge_blocks.rs test_find_node_pairings_c: graph_c with b1+ -> b2+ edge
+    pairings, _ = find_node_pairings(_graph(GRAPH_C_STRANDS), Edge(SimpleNode(1, FWD), SimpleNode(2, FWD)))
+    assert pairings == {1: 4, 2: 5, 3: 6, 4: 1, 5: 2, 6: 3}
+
+
+def test_merge_blocks_end_to_end_b():
+    # merge_blocks.rs test_merge_blocks_b (graph_b, b1- -> b2+ edge)
+    g = _graph(GRAPH_B_STRANDS)
+    merge_blocks(g, Edge(SimpleNode(1, REV), SimpleNode(2, FWD)))
+    _assert_merged(g, CONS_AB_B, EXP_ALN_B, {1: REV, 2: REV, 3: FWD}, POS_ABC)
+
+
+def test_merge_blocks_end_to_end_c():
+    # merge_blocks.rs test_merge_blocks_c (graph_c, b1+ -> b2+ edge)
+    g = _graph(GRAPH_C_STRANDS)
+    merge_blocks(g, Edge(SimpleNode(1, FWD), SimpleNode(2, FWD)))
+    _assert_merged(g, CONS_AB_C, EXP_ALN_C, {1: FWD, 2: FWD, 3: REV}, POS_ABC)
+
+
+def test_remove_transitive_edges_a_reference():
+    # merge_blocks.rs test_remove_transitive_edges_a: the b1+ -> b2- edge is
+    # found and compacted without being named explicitly
+    g = _graph(GRAPH_A_STRANDS)
+    remove_transitive_edges(g)
+    _assert_merged(g, CONS_AB_A, EXP_ALN_A, {1: FWD, 2: FWD, 3: REV}, POS_ABC)
+
+
+def test_remove_transitive_edges_b_reference():
+    g = _graph(GRAPH_B_STRANDS)
+    remove_transitive_edges(g)
+    _assert_merged(g, CONS_AB_B, EXP_ALN_B, {1: REV, 2: REV, 3: FWD}, POS_ABC)
+
+
+def test_remove_transitive_edges_c_reference():
+    g = _graph(GRAPH_C_STRANDS)
+    remove_transitive_edges(g)
+    _assert_merged(g, CONS_AB_C, EXP_ALN_C, {1: FWD, 2: FWD, 3: REV}, POS_ABC)
