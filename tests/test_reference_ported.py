@@ -228,3 +228,62 @@ def test_newick_branch_length_roundtrip():
     # malformed: ':' without a number is an error (newick.rs:253,307)
     with pytest.raises(ValueError, match="expected a number"):
         pn("(A:,B);")
+
+
+def _side_patch_aln(qry_iv, reff_iv, reff_len, cigar, orientation):
+    return Alignment(
+        qry=Hit.new(0, 257, qry_iv),
+        reff=Hit.new(1, reff_len, reff_iv),
+        matches=29,
+        length=84,
+        quality=10,
+        cigar=parse_cigar(cigar),
+        orientation=orientation,
+        divergence=0.1,
+    )
+
+
+def test_split_matches_with_side_patches_forward():
+    # split_matches.rs:398-461 (thr=10): flanking small indels are patched
+    # onto the nearest kept group
+    aln = _side_patch_aln((200, 257), (0, 56), 56, "3I3D6M3I3M4D5M14I7M3D4I5M5D3M4I12D", "+")
+    out = split_matches(aln, indel_len_threshold=10)
+    assert len(out) == 2
+    a, b = out
+    assert (a.qry.interval.to_tuple(), a.reff.interval.to_tuple()) == ((203, 220), (0, 21))
+    assert cigar_str(a.cigar) == "3D6M3I3M4D5M"
+    assert (a.matches, a.length) == (14, 24)
+    assert (b.qry.interval.to_tuple(), b.reff.interval.to_tuple()) == ((234, 257), (21, 44))
+    assert cigar_str(b.cigar) == "7M3D4I5M5D3M4I"
+    assert (b.matches, b.length) == (15, 31)
+    assert a.orientation == b.orientation == "+"
+
+
+def test_split_matches_with_side_patches_reverse_qry_leading():
+    # split_matches.rs:464-527
+    aln = _side_patch_aln((200, 257), (0, 49), 49, "3I3D6M3I3M4D5M14I7M3D4I5M5D3M4I5D", "-")
+    out = split_matches(aln, indel_len_threshold=10)
+    assert len(out) == 2
+    a, b = out
+    assert (a.qry.interval.to_tuple(), a.reff.interval.to_tuple()) == ((237, 257), (0, 21))
+    assert cigar_str(a.cigar) == "3I3D6M3I3M4D5M"
+    assert (a.matches, a.length) == (14, 27)
+    assert (b.qry.interval.to_tuple(), b.reff.interval.to_tuple()) == ((204, 223), (21, 49))
+    assert cigar_str(b.cigar) == "7M3D4I5M5D3M5D"
+    assert (b.matches, b.length) == (15, 32)
+    assert a.orientation == b.orientation == "-"
+
+
+def test_split_matches_with_side_patches_reverse_qry_trailing():
+    # split_matches.rs:530-594
+    aln = _side_patch_aln((0, 57), (0, 49), 49, "3I3D6M3I3M4D5M14I7M3D4I5M5D3M4I5D", "-")
+    out = split_matches(aln, indel_len_threshold=10)
+    assert len(out) == 2
+    a, b = out
+    assert (a.qry.interval.to_tuple(), a.reff.interval.to_tuple()) == ((37, 54), (0, 21))
+    assert cigar_str(a.cigar) == "3D6M3I3M4D5M"
+    assert (a.matches, a.length) == (14, 24)
+    assert (b.qry.interval.to_tuple(), b.reff.interval.to_tuple()) == ((0, 23), (21, 49))
+    assert cigar_str(b.cigar) == "7M3D4I5M5D3M5D4I"
+    assert (b.matches, b.length) == (15, 36)
+    assert a.orientation == b.orientation == "-"
