@@ -193,8 +193,18 @@ def mash_distance(seqs: list, k: int = 15, w: int = 100) -> np.ndarray:
     # honor the same thread pin as the DP pool so a "fully serial" baseline
     # (PANGRAPH_TPU_NATIVE_THREADS=1) really is serial end to end
     n_workers = int(os.environ.get("PANGRAPH_TPU_NATIVE_THREADS", 0)) or (os.cpu_count() or 1)
+
+    def sketch_one(s):
+        s = as_seq(s)
+        # sub-window sequence: clamp the window to its k-mer count so it
+        # still contributes its minimum k-mers (the reference's streaming
+        # sketch flushes partial end windows, minimizer.rs:148 — a plasmid
+        # shorter than w must not be unsketchable)
+        w_eff = max(min(w, len(s) - k + 1), 1)
+        return sketch(s, k, w_eff)
+
     with ThreadPoolExecutor(max_workers=min(n, n_workers)) as pool:
-        mms = list(pool.map(lambda s: sketch(as_seq(s), k, w), seqs))
+        mms = list(pool.map(sketch_one, seqs))
     all_vals = []
     all_ids = []
     for i, mm in enumerate(mms):
