@@ -45,7 +45,10 @@ def read_fasta(paths, validate: bool = True) -> list:
             name, desc, chunks = None, None, []
             first_line = True
             for line in f:
-                line = line.rstrip()
+                # whole-line strip: indented headers and skewed sequence
+                # indentation are accepted (fasta.rs test_fasta_reader_
+                # multiline_and_skewed_indentation / dedent_nuc)
+                line = line.strip()
                 if first_line:
                     first_line = False
                     if line.startswith("version https://git-lfs"):
@@ -57,10 +60,15 @@ def read_fasta(paths, validate: bool = True) -> list:
                     if name is not None:
                         records.append(_finish(name, desc, chunks, index, validate, path))
                         index += 1
-                    header = line[1:].strip()
-                    parts = header.split(None, 1)
-                    name = parts[0] if parts else ""
-                    desc = parts[1] if len(parts) > 1 else None
+                    # split on the RAW header: '> desc' yields an EMPTY name
+                    # with a description (fasta.rs test_fasta_reader_dedent_nuc
+                    # pins "> SneezeC-19" -> name "", desc "SneezeC-19")
+                    header = line[1:]
+                    import re as _re
+
+                    m = _re.match(r"(\S*)\s*(.*)", header)
+                    name = m.group(1)
+                    desc = m.group(2).strip() or None
                     chunks = []
                 elif line and name is not None:
                     chunks.append(line)
