@@ -59,7 +59,9 @@ def _order_range(start: int, end: int):
     """mmseqs 1-based inclusive -> 0-based right-exclusive; a swapped pair
     (start > end) marks a reverse-complemented hit (paf.rs:74-86: an exact
     reverse match of two length-10 sequences reports query = (10, 1),
-    target = (1, 10) — the STRAND comes from the query range)."""
+    target = (1, 10) — the STRAND comes from the query range). A degenerate
+    start == end (single-column) hit classifies as reverse, exactly like
+    the reference's order_range — mmseqs never emits such rows."""
     if start < end:
         return start - 1, end, "+"
     return end - 1, start, "-"

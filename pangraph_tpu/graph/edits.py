@@ -217,7 +217,12 @@ class Edit:
 
     def internal_deletions(self, cons_len: int) -> int:
         total = sum(d.len for d in self.dels)
-        return total - self.leading_deletions() - self.trailing_deletions(cons_len)
+        # a full-span deletion counts as BOTH leading and trailing; clamp at
+        # zero instead of going negative (the reference's usize arithmetic
+        # would underflow-panic on that degenerate input, edits.rs:387-392 —
+        # such nodes are removed upstream as empty, but the API should not
+        # return nonsense)
+        return max(total - self.leading_deletions() - self.trailing_deletions(cons_len), 0)
 
     def leading_insertions(self) -> int:
         return sum(len(i.seq) for i in self.inss if i.pos == 0)
@@ -227,7 +232,9 @@ class Edit:
 
     def internal_insertions(self, cons_len: int) -> int:
         total = sum(len(i.seq) for i in self.inss)
-        return total - self.leading_insertions() - self.trailing_insertions(cons_len)
+        # clamp as in internal_deletions (an insertion at pos 0 of an empty
+        # consensus is both leading and trailing)
+        return max(total - self.leading_insertions() - self.trailing_insertions(cons_len), 0)
 
     def has_dels(self) -> bool:
         return bool(self.dels)

@@ -5,9 +5,14 @@ global record index, io/fasta.rs:50-128; 80-column writer, io/fasta.rs:223-251).
 """
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 import numpy as np
+
+# header split: name = leading non-whitespace run (possibly empty), desc =
+# the rest (fasta.rs semantics — '> desc' yields an empty name with a desc)
+_HEADER_RE = re.compile(r"(\S*)\s*(.*)")
 
 from pangraph_tpu.graph.seq import as_seq, to_str, validate_alphabet
 from pangraph_tpu.io.files import create_maybe_compressed, open_maybe_compressed
@@ -63,10 +68,7 @@ def read_fasta(paths, validate: bool = True) -> list:
                     # split on the RAW header: '> desc' yields an EMPTY name
                     # with a description (fasta.rs test_fasta_reader_dedent_nuc
                     # pins "> SneezeC-19" -> name "", desc "SneezeC-19")
-                    header = line[1:]
-                    import re as _re
-
-                    m = _re.match(r"(\S*)\s*(.*)", header)
+                    m = _HEADER_RE.match(line[1:])
                     name = m.group(1)
                     desc = m.group(2).strip() or None
                     chunks = []

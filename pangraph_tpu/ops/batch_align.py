@@ -858,20 +858,25 @@ class TpuBatchAligner:
                     kbumps += kk
                 warm_before = len(self._SHAPES_WARM)
                 t0 = _t.time()
+                # the WHOLE per-batch path (dispatch, rate observation, and
+                # result slicing) completes every ticket on any exception —
+                # a ticket left unset would hang its merge thread forever
+                # (tk.result() waits without a timeout)
                 try:
                     e, b, o = self._dispatch_device(jobs, widths, kbumps)
+                    dt = _t.time() - t0
+                    if len(self._SHAPES_WARM) == warm_before and not self.DEVICE_UNHEALTHY:
+                        cells = sum(self._job_cells(j, w) for j, w in zip(jobs, widths))
+                        self._observe_rate("dev", cells, dt)
+                    for s0, n, tk in slices:
+                        tk.out = (e[s0 : s0 + n], b[s0 : s0 + n], o[s0 : s0 + n])
                 except BaseException as ex:
                     for _s0, _n, tk in slices:
-                        tk.exc = ex
+                        if tk.out is None:
+                            tk.exc = ex
+                finally:
+                    for _s0, _n, tk in slices:
                         tk.ev.set()
-                    continue
-                dt = _t.time() - t0
-                if len(self._SHAPES_WARM) == warm_before and not self.DEVICE_UNHEALTHY:
-                    cells = sum(self._job_cells(j, w) for j, w in zip(jobs, widths))
-                    self._observe_rate("dev", cells, dt)
-                for s0, n, tk in slices:
-                    tk.out = (e[s0 : s0 + n], b[s0 : s0 + n], o[s0 : s0 + n])
-                    tk.ev.set()
         except BaseException:
             # never die with tickets (or the running flag) latched
             with self._broker_lock:

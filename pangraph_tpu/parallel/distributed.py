@@ -195,7 +195,12 @@ def _clean_env(virtual_devices: int) -> dict:
     exchange), repo on the path, virtual device count pinned."""
     env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p and "axon" not in p]
+    # drop only the accelerator plugin's sitecustomize dir (basename match,
+    # not a bare substring — '/home/jaxon/pkgs' must survive)
+    parts = [
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon_site" not in os.path.basename(os.path.normpath(p))
+    ]
     env["PYTHONPATH"] = os.pathsep.join([repo] + parts)
     env["JAX_PLATFORMS"] = "cpu"
     kept = [
@@ -228,9 +233,16 @@ def launch_local_cluster(
     env = _clean_env(virtual_devices)
     procs = []
     outs = []
+    logs = []
     for pid in range(n_processes):
         out = os.path.join(out_dir, f"worker-{pid}.json")
         outs.append(out)
+        # logs go to FILES, not pipes: workers are coupled through
+        # collectives and coordinator waits, so a worker blocked on a full
+        # pipe (the parent reads sequentially) would deadlock the cluster
+        log_path = os.path.join(out_dir, f"worker-{pid}.log")
+        logs.append(log_path)
+        log_f = open(log_path, "w")
         procs.append(
             subprocess.Popen(
                 [
@@ -241,20 +253,23 @@ def launch_local_cluster(
                     "--genomes", str(genomes), "--length", str(length),
                     "--out", out,
                 ],
-                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env, stdout=log_f, stderr=subprocess.STDOUT,
             )
         )
+        log_f.close()  # the child holds its own handle
     results = []
     try:
-        for p, out in zip(procs, outs):
+        for p, out, log_path in zip(procs, outs, logs):
             try:
-                _stdout, stderr = p.communicate(timeout=timeout_s)
+                p.wait(timeout=timeout_s)
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()
                 raise RuntimeError("distributed worker timed out")
             if p.returncode != 0:
-                raise RuntimeError(f"worker failed (rc={p.returncode}):\n{stderr[-4000:]}")
+                with open(log_path) as f:
+                    tail = f.read()[-4000:]
+                raise RuntimeError(f"worker failed (rc={p.returncode}):\n{tail}")
             with open(out) as f:
                 results.append(json.load(f))
     finally:
