@@ -410,7 +410,20 @@ class TpuBatchAligner:
                 done.set()
                 return
             try:
+                import time as _t
+
+                t0 = _t.time()
                 np.asarray(jax.device_put(np.arange(16, dtype=np.int32)))
+                if kind == "tpu":
+                    # measured data-path round trip: feeds the routing
+                    # gate's per-round overhead model (a 16-40 ms healthy
+                    # link and a ~200 ms degraded one need very different
+                    # mixed/host-only decisions). The first probe can
+                    # include one-time transfer setup — rounds only get
+                    # cheaper, so treating it as the overhead is the safe
+                    # (pessimistic) direction; warm slope observations
+                    # correct the model from there.
+                    cls.MEASURED_RTT = _t.time() - t0
                 box["v"] = kind
             except Exception:
                 # a TRANSFER error on a tpu backend is transient link
@@ -517,6 +530,10 @@ class TpuBatchAligner:
     # observing the device rate (so _dev_rate is a SLOPE, cells/s beyond
     # the per-round cost) and charged back when predicting a round's wall.
     DEV_LATENCY_S = float(os.environ.get("PANGRAPH_TPU_DEV_LATENCY", 0.03))
+    # tiny H2D+D2H round trip measured by the link probe (None until one
+    # succeeds); the gate uses max(DEV_LATENCY_S, MEASURED_RTT), capped at
+    # 1 s so a slow one-time init can't model the link as unusable forever
+    MEASURED_RTT = None
     # mixed host+device routing must be PREDICTED to beat host-only by this
     # factor before the device gets a share (VERDICT r4: break-even device
     # participation made the 46 Mbp build slower than host-only — retries
@@ -538,14 +555,22 @@ class TpuBatchAligner:
         if which == "dev":
             # the device rate EMA is a SLOPE: per-round overhead (latency +
             # pack/decode floor) is modeled separately, so a round's wall is
-            # predicted as _dev_lat + cells/_dev_rate
-            secs = max(secs - self._dev_lat, 1e-3)
+            # predicted as overhead + cells/_dev_rate
+            secs = max(secs - self._effective_dev_lat(), 1e-3)
         obs = cells / secs
         attr = "_host_rate" if which == "host" else "_dev_rate"
         prev = getattr(self, attr)
         setattr(self, attr, obs if prev is None else 0.5 * prev + 0.5 * obs)
         if which == "dev":
             self._dev_starved = 0
+
+    def _effective_dev_lat(self) -> float:
+        """Modeled per-round device overhead: the env/default floor, raised
+        to the probe-measured tiny round trip (capped at 1 s)."""
+        L = self._dev_lat
+        if self.MEASURED_RTT is not None:
+            L = max(L, min(self.MEASURED_RTT, 1.0))
+        return L
 
     def _ckpt_competitive(self) -> bool:
         """Should an oversized (Mbp) tier ride the checkpointed kernel?
@@ -615,7 +640,8 @@ class TpuBatchAligner:
             # beats the host-only wall by MIXED_GUARANTEE — mixed mode must
             # never lose to host-only (r4's 75 s vs 38 s regression).
             C = sum(cells)
-            h, d, L = self._host_rate, self._dev_rate, self._dev_lat
+            h, d = self._host_rate, self._dev_rate
+            L = self._effective_dev_lat()
             host_only_wall = C / h
             mixed_wall = (L * d + C) / (d + h)
             if mixed_wall < host_only_wall * self.MIXED_GUARANTEE:

@@ -22,8 +22,11 @@ ACGT = np.frombuffer(b"ACGT", np.uint8)
 def _reset_flag():
     saved_kind = TpuBatchAligner._device_kind_cache
     saved_stalled = TpuBatchAligner.DEVICE_EVER_STALLED
+    saved_rtt = TpuBatchAligner.MEASURED_RTT
     TpuBatchAligner.DEVICE_UNHEALTHY = False
+    TpuBatchAligner.MEASURED_RTT = None  # tests model latency via _dev_lat
     yield
+    TpuBatchAligner.MEASURED_RTT = saved_rtt
     # restore ALL class-level state these tests touch (directly or via the
     # re-probe loop), or later test files see leaked routing state
     TpuBatchAligner.DEVICE_UNHEALTHY = False
@@ -210,6 +213,22 @@ def test_latency_gate_routes_host_only(monkeypatch):
     assert seen["dev"] == 0, "device dispatched on a round the gate should close"
     # the gated round still counts toward the periodic re-probe
     assert al._dev_starved == 1
+
+
+def test_measured_rtt_raises_modeled_latency(monkeypatch):
+    """A probe-measured slow round trip must raise the gate's modeled
+    per-round overhead (capped at 1 s) — a degraded ~200 ms link needs a
+    different mixed/host-only decision than a healthy 30 ms one."""
+    al = TpuBatchAligner(BandedAlignParams())
+    al._dev_lat = 0.03
+    monkeypatch.setattr(TpuBatchAligner, "MEASURED_RTT", None)
+    assert al._effective_dev_lat() == 0.03
+    monkeypatch.setattr(TpuBatchAligner, "MEASURED_RTT", 0.2)
+    assert al._effective_dev_lat() == 0.2
+    monkeypatch.setattr(TpuBatchAligner, "MEASURED_RTT", 30.0)
+    assert al._effective_dev_lat() == 1.0  # cap: one slow init can't latch
+    monkeypatch.setattr(TpuBatchAligner, "MEASURED_RTT", 0.001)
+    assert al._effective_dev_lat() == 0.03  # floor: the env default holds
 
 
 def test_latency_gate_periodic_reprobe(monkeypatch):
