@@ -160,15 +160,21 @@ class BackboneJunctions:
             ]
             cats = Counter(tuple(c.oriented_blocks) for c in centers)
             non_empty = sum(1 for c in centers if len(c))
-            acc_len = sum(int(lens[ob.id]) for c in centers for ob in c.oriented_blocks)
+            # unique accessory content across isolates (stats.py:57-63 — a
+            # block traversed by many isolates or duplicated in one counts
+            # its length once)
+            acc_len = sum(int(lens[bid]) for bid in {ob.id for c in centers for ob in c.oriented_blocks})
+            n_majority = max(cats.values()) if cats else 0
             e = Edge.from_str_id(edge_str)
             rows[edge_str] = {
                 "n_isolates": len(iso_map),
                 "n_non_empty": non_empty,
                 "n_categories": len(cats),
-                "n_majority_category": max(cats.values()) if cats else 0,
-                "is_transitive": len(cats) == 1 and non_empty == 0,
-                "is_singleton": len(iso_map) == 1,
+                "n_majority_category": n_majority,
+                # stats.py:50-51: transitive = a single (possibly non-empty)
+                # category; singleton = exactly one isolate deviates
+                "is_transitive": len(cats) == 1,
+                "is_singleton": len(iso_map) > 1 and n_majority == len(iso_map) - 1,
                 "left_core_length": int(lens[e.left.id]),
                 "right_core_length": int(lens[e.right.id]),
                 "accessory_length": acc_len,
@@ -186,9 +192,11 @@ class BackboneJunctions:
         rows = []
         for edge_str, iso_map in self._edge_map.items():
             for iso, j in iso_map.items():
-                cj = j.to_canonical()
-                ln = core.nodes[cj.left.node_id]
-                rn = core.nodes[cj.right.node_id]
+                # left/right follow each genome's OWN path order; `strand`
+                # records whether that order matches the canonical edge
+                # orientation (positions.py:10-14)
+                ln = core.nodes[j.left.node_id]
+                rn = core.nodes[j.right.node_id]
                 rows.append(
                     {
                         "edge": edge_str,
@@ -208,6 +216,8 @@ class BackboneJunctions:
         self._ensure_split()
         core = self.g.graph
         out = {}
+        if edge_str not in self._edge_map:
+            return out  # unknown edge: empty, like the reference's []
         for iso, j in self._edge_map[edge_str].items():
             cj = j.to_canonical()
             parts = []
