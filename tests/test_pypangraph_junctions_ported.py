@@ -407,3 +407,96 @@ def test_inversion_sequences_rc_equivalence(inversion_pangraph):
     seqs2 = bj.sequences(_edge(70, True, 40, True))
     assert set(seqs2) == {"s1", "s2"}
     assert seqs2["s1"] == seqs2["s2"]
+
+
+# ---------------------------------------------------------------- MSU suite #
+# ported from packages/pypangraph/tests/test_msu.py (fixtures above)
+from pangraph_tpu.analysis.msu import flip_msu_to_most_common_orientation, minimal_synteny_units
+from pangraph_tpu.analysis.topology import Walk
+
+
+def test_find_mergers_reference_groups():
+    # test_msu.py:107-141: the 9-block 4-walk example collapses into exactly
+    # {A,B,J}, {C,D}, {E,F,G}, {H}
+    from collections import defaultdict
+
+    from pangraph_tpu.analysis.topology import find_mergers
+
+    def W(*names, inv=()):
+        return Walk([OrientedBlock(n, n not in inv) for n in names], circular=True)
+
+    paths = {
+        1: W("A", "B", "C", "D", "E", "F", "G", "H", "J"),
+        2: W("A", "B", "C", "D", "E", "F", "G", "H", "J"),
+        3: W("A", "B", "D", "C", "E", "F", "G", "H", "J", inv=("D", "C")),
+        4: W("A", "B", "D", "C", "E", "F", "G", "H", "J", inv=("D", "C", "H")),
+    }
+    mg = find_mergers(paths)
+    groups = defaultdict(set)
+    for src, sink in mg.items():
+        groups[sink].add(src)
+    sources = list(groups.values())
+    assert len(sources) == 4
+    assert {"A", "B", "J"} in sources
+    assert {"C", "D"} in sources
+    assert {"E", "F", "G"} in sources
+    assert {"H"} in sources
+
+
+def test_minimal_synteny_units_circular(junction_pangraph):
+    # test_msu.py:164-208: only the wrap C4->C1 is universal, so C1+C4 merge
+    mergers, msu_paths, msu_len = minimal_synteny_units(junction_pangraph, L_thr=500, rotate=True)
+    assert msu_len == {"MSU_0": 1700, "MSU_1": 800, "MSU_2": 600}
+    assert mergers == {100: "MSU_0", 400: "MSU_0", 200: "MSU_1", 300: "MSU_2"}
+    exp_s1 = Walk([OrientedBlock("MSU_0", True), OrientedBlock("MSU_1", True),
+                   OrientedBlock("MSU_2", True)], circular=True)
+    exp_s3 = Walk([OrientedBlock("MSU_0", True), OrientedBlock("MSU_2", True),
+                   OrientedBlock("MSU_1", True)], circular=True)
+    assert msu_paths["s1"] == exp_s1
+    assert msu_paths["s2"] == exp_s1
+    assert msu_paths["s3"] == exp_s3
+    assert all(p.circular for p in msu_paths.values())
+
+
+def test_minimal_synteny_units_no_rotate(linear_pangraph):
+    # test_msu.py:210-228: one transitive chain -> a single MSU, unrotated
+    mergers, msu_paths, msu_len = minimal_synteny_units(linear_pangraph, L_thr=500, rotate=False)
+    assert msu_len == {"MSU_0": 2400}
+    assert mergers == {100: "MSU_0", 200: "MSU_0", 300: "MSU_0"}
+    expected = Walk([OrientedBlock("MSU_0", True)], circular=False)
+    assert msu_paths["s1"] == expected and msu_paths["s2"] == expected
+    assert all(p.circular is False for p in msu_paths.values())
+
+
+def test_minimal_synteny_units_rotate_requires_circular(linear_pangraph):
+    # test_msu.py:230-233
+    with pytest.raises(ValueError, match="[Oo]nly circular"):
+        minimal_synteny_units(linear_pangraph, L_thr=500)
+
+
+def test_minimal_synteny_units_rc_collapse(inversion_pangraph):
+    # test_msu.py:236-274: a genome and its whole-RC collapse onto the same
+    # canonical walk; s3's inversion survives as a flipped MSU node
+    mergers, msu_paths, msu_len = minimal_synteny_units(inversion_pangraph, L_thr=10, rotate=True)
+    assert msu_len == {"MSU_0": 70, "MSU_1": 28}
+    assert mergers == {10: "MSU_0", 50: "MSU_0", 20: "MSU_0", 60: "MSU_0",
+                       40: "MSU_0", 70: "MSU_1", 30: "MSU_1"}
+    exp_ref = Walk([OrientedBlock("MSU_0", True), OrientedBlock("MSU_1", True)], circular=True)
+    exp_s3 = Walk([OrientedBlock("MSU_0", True), OrientedBlock("MSU_1", False)], circular=True)
+    assert msu_paths["s1"] == exp_ref
+    assert msu_paths["s2"] == exp_ref
+    assert msu_paths["s3"] == exp_s3
+    assert all(p.circular for p in msu_paths.values())
+
+
+def test_flip_msu_to_most_common_orientation():
+    # test_msu.py:277-296: net-reverse blocks flip in place
+    paths = {
+        "a": Walk([OrientedBlock("X", False), OrientedBlock("Y", True)], circular=True),
+        "b": Walk([OrientedBlock("X", False), OrientedBlock("Y", True)], circular=True),
+        "c": Walk([OrientedBlock("X", True), OrientedBlock("Y", True)], circular=True),
+    }
+    result = flip_msu_to_most_common_orientation(paths)
+    assert result is paths
+    assert paths["a"].oriented_blocks[0] == OrientedBlock("X", True)
+    assert paths["a"].oriented_blocks[1] == OrientedBlock("Y", True)
