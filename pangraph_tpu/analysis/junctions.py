@@ -50,6 +50,17 @@ class Junction:
             return None
         return Edge(self.left, self.right)
 
+    def oriented_blocks(self) -> list:
+        """left + center + right flattened, skipping None flanks
+        (junction.py oriented_blocks)."""
+        out = []
+        if self.left is not None:
+            out.append(self.left)
+        out.extend(self.center.oriented_blocks)
+        if self.right is not None:
+            out.append(self.right)
+        return out
+
     def is_canonical(self) -> bool:
         e = self.flanking_edge()
         if e is None:

@@ -500,3 +500,190 @@ def test_flip_msu_to_most_common_orientation():
     assert result is paths
     assert paths["a"].oriented_blocks[0] == OrientedBlock("X", True)
     assert paths["a"].oriented_blocks[1] == OrientedBlock("Y", True)
+
+
+# ------------------------------------------------------- junctions core #
+# ported from packages/pypangraph/tests/test_junctions_core.py
+from pangraph_tpu.analysis.junctions import Junction, JunctionNode, path_junction_split
+from pangraph_tpu.analysis.topology import pangraph_to_walks
+
+
+def _is_core_fn(pan, thr=500):
+    bdf = pan.to_blockstats_df()
+
+    def is_core(bid):
+        return (bdf.loc[bid, "len"] >= thr) and bdf.loc[bid, "core"]
+
+    return is_core
+
+
+def test_path_junction_split(junction_pangraph):
+    # test_junctions_core.py:14-39
+    walks = pangraph_to_walks(junction_pangraph)
+    junctions = path_junction_split(walks["s1"], _is_core_fn(junction_pangraph))
+    assert len(junctions) == 4
+    edges = {j.flanking_edge().to_str_id() for j in junctions}
+    assert edges == {"100_r__400_r", "100_f__200_f", "200_f__300_f", "300_f__400_f"}
+    j = [x for x in junctions if x.flanking_edge().to_str_id() == "100_f__200_f"][0]
+    assert len(j.center) == 2  # A1 + A2
+
+
+def test_path_junction_split_rearranged(junction_pangraph):
+    # test_junctions_core.py:41-54
+    walks = pangraph_to_walks(junction_pangraph)
+    junctions = path_junction_split(walks["s3"], _is_core_fn(junction_pangraph))
+    assert len(junctions) == 4
+    edges = {j.flanking_edge().to_str_id() for j in junctions}
+    assert edges == {"100_r__400_r", "100_f__300_f", "200_r__300_r", "200_f__400_f"}
+
+
+def test_path_junction_split_requires_two_core_blocks():
+    # test_junctions_core.py:57-72
+    p0 = Walk([OrientedBlock(1, True), OrientedBlock(2, True)], circular=True)
+    with pytest.raises(ValueError, match="at least 2"):
+        path_junction_split(p0, lambda bid: False)
+    with pytest.raises(ValueError, match="at least 2"):
+        path_junction_split(p0, lambda bid: bid == 1)
+
+
+def test_path_junction_split_linear(linear_pangraph):
+    # test_junctions_core.py:74-124: terminal junctions carry None flanks
+    walks = pangraph_to_walks(linear_pangraph)
+    is_core = _is_core_fn(linear_pangraph)
+    j1 = path_junction_split(walks["s1"], is_core)
+    assert j1[0].left is None and len(j1[0].center) == 1 and j1[0].right is not None
+    assert j1[1].left is not None and j1[1].right is not None
+    assert j1[-1].left is not None and j1[-1].right is None
+    assert j1[0].flanking_edge() is None
+    assert j1[-1].flanking_edge() is None
+    assert j1[1].flanking_edge() is not None
+    j2 = path_junction_split(walks["s2"], is_core)
+    assert j2[0].left is None and len(j2[0].center) == 0 and j2[0].right is not None
+    assert j2[-1].left is not None and len(j2[-1].center) == 1 and j2[-1].right is None
+
+
+def test_junction_node_inherits_equality():
+    # test_junctions_core.py:127-134
+    a, b, c = JunctionNode(100, True, 1), JunctionNode(100, True, 2), JunctionNode(100, False, 1)
+    assert a == b and a != c and hash(a) == hash(b)
+
+
+def test_junction_node_invert():
+    # test_junctions_core.py:137-144
+    inv = JunctionNode(100, True, 42).invert()
+    assert (inv.id, inv.strand, inv.node_id) == (100, False, 42)
+    assert isinstance(inv, JunctionNode)
+
+
+def test_junction_oriented_blocks():
+    # test_junctions_core.py:147-168
+    left, a1 = OrientedBlock(100, True), OrientedBlock(200, True)
+    a2, right = OrientedBlock(300, False), OrientedBlock(400, True)
+    assert Junction(left, Walk([a1, a2]), right).oriented_blocks() == [left, a1, a2, right]
+    assert Junction(left, Walk([]), right).oriented_blocks() == [left, right]
+    assert Junction(None, Walk([a1, a2]), right).oriented_blocks() == [a1, a2, right]
+    assert Junction(left, Walk([a1, a2]), None).oriented_blocks() == [left, a1, a2]
+
+
+def test_junction_invert_terminal():
+    # test_junctions_core.py:171-197
+    a1, a2 = OrientedBlock(200, True), OrientedBlock(300, False)
+    right = JunctionNode(400, True, 42)
+    no_left = Junction(None, Walk([a1, a2]), right)
+    inv = no_left.invert()
+    assert inv.right is None
+    assert inv.left == right.invert() and inv.left.node_id == 42
+    assert inv.center == Walk([a2.invert(), a1.invert()])
+    assert no_left.invert().invert() == no_left
+    left = JunctionNode(100, True, 7)
+    rinv = Junction(left, Walk([a1, a2]), None).invert()
+    assert rinv.left is None
+    assert rinv.right == left.invert() and rinv.right.node_id == 7
+
+
+def test_edge_is_canonical():
+    # test_junctions_core.py:200-215
+    e = Edge.from_str_id("100_f__200_f")
+    assert e.is_canonical() and e.to_str_id() == "100_f__200_f"
+    inv = e.invert()
+    assert not inv.is_canonical()
+    assert inv.to_str_id() == "100_f__200_f"
+    palindrome = Edge(OrientedBlock(100, True), OrientedBlock(100, False))
+    assert palindrome.is_canonical()
+
+
+def test_str_id_roundtrip_underscore_ids():
+    # test_junctions_core.py:218-225: strand suffix peels from the right
+    ob = OrientedBlock("MSU_0", True)
+    assert OrientedBlock.from_str_id(ob.to_str_id()) == ob
+    e = Edge(OrientedBlock("MSU_0", True), OrientedBlock("MSU_12", False))
+    assert Edge.from_str_id(e.to_str_id()) == e
+
+
+def test_junction_is_canonical(junction_pangraph):
+    # test_junctions_core.py:228-238
+    bj = BackboneJunctions(junction_pangraph, L_thr=500)
+    assert bj["100_f__200_f"]["s1"].is_canonical()
+    assert not bj["200_r__300_r"]["s3"].is_canonical()
+
+
+def test_junction_to_canonical(junction_pangraph):
+    # test_junctions_core.py:241-255
+    bj = BackboneJunctions(junction_pangraph, L_thr=500)
+    j_canon = bj["100_f__200_f"]["s1"]
+    assert j_canon.to_canonical() is j_canon
+    j_inv = bj["200_r__300_r"]["s3"]
+    j_out = j_inv.to_canonical()
+    assert j_out is not j_inv
+    assert j_out.is_canonical()
+    assert j_out == j_inv.invert()
+
+
+def test_junction_canonical_terminal_raises():
+    # test_junctions_core.py:258-276
+    center = Walk([OrientedBlock(200, True)])
+    no_left = Junction(None, center, OrientedBlock(400, True))
+    with pytest.raises(ValueError, match="[Tt]erminal"):
+        no_left.is_canonical()
+    with pytest.raises(ValueError, match="[Tt]erminal"):
+        no_left.to_canonical()
+    no_right = Junction(OrientedBlock(100, True), center, None)
+    with pytest.raises(ValueError, match="[Tt]erminal"):
+        no_right.is_canonical()
+    with pytest.raises(ValueError, match="[Tt]erminal"):
+        no_right.to_canonical()
+
+
+def test_junctions_edge_freq(junction_pangraph):
+    # test_junctions_core.py:279-297
+    edge_freq = BackboneJunctions(junction_pangraph, L_thr=500).stats()["n_isolates"]
+    assert edge_freq["100_r__400_r"] == 3
+    for e in ("100_f__200_f", "200_f__300_f", "300_f__400_f"):
+        assert edge_freq[e] == 2
+    for e in ("100_f__300_f", "200_f__400_f", "200_r__300_r"):
+        assert edge_freq[e] == 1
+    counts = edge_freq.values
+    assert all(counts[i] >= counts[i + 1] for i in range(len(counts) - 1))
+
+
+def test_backbone_getitem(junction_pangraph):
+    # test_junctions_core.py:300-314
+    bj = BackboneJunctions(junction_pangraph, L_thr=500)
+    per_iso = bj["100_f__200_f"]
+    assert set(per_iso) == {"s1", "s2"}
+    j = per_iso["s1"]
+    assert j.flanking_edge().to_str_id() == "100_f__200_f"
+    assert len(j.center) == 2
+    assert "100_f__200_f" in bj
+    assert "nonexistent_edge" not in bj
+    with pytest.raises(KeyError):
+        _ = bj["nonexistent_edge"]
+
+
+def test_backbone_edges(junction_pangraph):
+    # test_junctions_core.py:317-330
+    bj = BackboneJunctions(junction_pangraph, L_thr=500)
+    assert set(bj.edges()) == {
+        "100_r__400_r", "100_f__200_f", "200_f__300_f", "300_f__400_f",
+        "100_f__300_f", "200_f__400_f", "200_r__300_r",
+    }
