@@ -687,3 +687,134 @@ def test_backbone_edges(junction_pangraph):
         "100_r__400_r", "100_f__200_f", "200_f__300_f", "300_f__400_f",
         "100_f__300_f", "200_f__400_f", "200_r__300_r",
     }
+
+
+# ----------------------------------------------------------- export suite #
+# ported from packages/pypangraph/tests/test_export.py (the plasmid smoke
+# test is covered by test_analysis.py's junction_context_gfa on built graphs)
+import math
+import re
+
+from pangraph_tpu.analysis.export import GFA
+from pangraph_tpu.analysis.junctions_gfa import junction_context_gfa
+
+ACCESSORY_RE = re.compile(r"^J\d+__\d+$")
+DOMINANT_EDGES = {"100_f__200_f", "200_f__300_f", "300_f__400_f", "100_r__400_r"}
+
+
+def test_gfa_write_minimal(tmp_path):
+    # test_export.py:23-38
+    out = tmp_path / "tiny.gfa"
+    GFA({"a": 100, "b": 50}, {("a", True, "b", False)}, {"a": 3}).write(str(out))
+    lines = out.read_text().splitlines()
+    assert lines[0] == "H\tVN:Z:1.0"
+    s_lines = {ln.split("\t")[1]: ln for ln in lines if ln.startswith("S")}
+    assert "LN:i:100" in s_lines["a"] and "DP:f:3" in s_lines["a"]
+    assert "LN:i:50" in s_lines["b"] and "DP:f:" not in s_lines["b"]
+    (link,) = [ln for ln in lines if ln.startswith("L")]
+    assert link == "L\ta\t+\tb\t-\t0M"
+
+
+def _segment_lengths(gfa_path):
+    lengths = {}
+    for ln in gfa_path.read_text().splitlines():
+        if ln.startswith("S"):
+            fields = ln.split("\t")
+            (tag,) = [f for f in fields if f.startswith("LN:i:")]
+            lengths[fields[1]] = int(tag[5:])
+    return lengths
+
+
+def test_gfa_write_length_transform(tmp_path):
+    # test_export.py:52-73
+    gfa = GFA({"a": 100, "b": 1000, "c": 5}, set(), {})
+    out = tmp_path / "scaled.gfa"
+    gfa.write(str(out), length_transform=lambda length: length / 10)
+    assert _segment_lengths(out) == {"a": 10, "b": 100, "c": 1}
+    out_log = tmp_path / "log.gfa"
+    gfa.write(str(out_log), length_transform=lambda length: 100 * math.log(length))
+    assert _segment_lengths(out_log) == {
+        name: max(1, round(100 * math.log(length))) for name, length in gfa.segments.items()
+    }
+    out_real = tmp_path / "real.gfa"
+    gfa.write(str(out_real))
+    assert _segment_lengths(out_real) == {"a": 100, "b": 1000, "c": 5}
+
+
+def test_consensus_gfa_structure(junction_pangraph):
+    # test_export.py:76-105
+    bj = BackboneJunctions(junction_pangraph, L_thr=500)
+    segments, links, depths, prefix_map = junction_context_gfa(bj, scaffold="consensus")
+    core_ids = {"100", "200", "300", "400"}
+    assert core_ids <= set(segments)
+    for name in segments:
+        if name not in core_ids:
+            assert ACCESSORY_RE.match(name), name
+    for a, _, b, _ in links:
+        assert a in segments and b in segments
+    for cid in core_ids:
+        assert depths[cid] == 3
+    a1 = next(n for n in segments if n.endswith("__500"))
+    assert depths[a1] == 2
+    for edge_str in prefix_map.values():
+        assert edge_str in bj
+
+
+def test_all_scaffold_is_superset_of_consensus(junction_pangraph):
+    # test_export.py:108-118
+    bj = BackboneJunctions(junction_pangraph, L_thr=500)
+    _, links_c, _, pmap_c = junction_context_gfa(bj, scaffold="consensus")
+    _, links_a, _, pmap_a = junction_context_gfa(bj, scaffold="all")
+    assert set(pmap_c.values()) < set(pmap_a.values())
+    assert len(links_a) >= len(links_c)
+
+
+def test_consensus_scaffold_follows_dominant_synteny(junction_pangraph):
+    # test_export.py:120-125
+    bj = BackboneJunctions(junction_pangraph, L_thr=500)
+    _, _, _, prefix_map = junction_context_gfa(bj, scaffold="consensus")
+    assert set(prefix_map.values()) == DOMINANT_EDGES
+
+
+def test_reference_scaffold_uses_that_genomes_edges(junction_pangraph):
+    # test_export.py:127-134
+    bj = BackboneJunctions(junction_pangraph, L_thr=500)
+    _, _, _, prefix_map = junction_context_gfa(bj, scaffold="s3")
+    edges = set(prefix_map.values())
+    assert edges != DOMINANT_EDGES
+    assert "100_f__300_f" in edges
+
+
+def test_unknown_scaffold_raises(junction_pangraph):
+    # test_export.py:137-141
+    bj = BackboneJunctions(junction_pangraph, L_thr=500)
+    with pytest.raises(ValueError, match="unknown scaffold"):
+        junction_context_gfa(bj, scaffold="not_a_genome")
+
+
+@pytest.fixture
+def tandem_accessory_pangraph(tmp_path):
+    # conftest.py build_tandem_accessory_pangraph_json
+    nodes = {
+        "1": _node(1, 100, 0, True, 0, 1000), "2": _node(2, 500, 0, True, 1000, 1200),
+        "3": _node(3, 500, 0, True, 1200, 1400), "4": _node(4, 200, 0, True, 1400, 2200),
+        "5": _node(5, 100, 1, True, 0, 1000), "6": _node(6, 500, 1, True, 1000, 1200),
+        "7": _node(7, 200, 1, True, 1200, 2000),
+    }
+    blocks = {
+        "100": _block(100, 1000, [1, 5]), "200": _block(200, 800, [4, 7]),
+        "500": _block(500, 200, [2, 3, 6]),
+    }
+    paths = {
+        "0": _path(0, "s1", [1, 2, 3, 4], 2200),
+        "1": _path(1, "s2", [5, 6, 7], 2000),
+    }
+    return _load(tmp_path, {"paths": paths, "blocks": blocks, "nodes": nodes})
+
+
+def test_accessory_depth_counts_repeats_on_same_path(tandem_accessory_pangraph):
+    # test_export.py:144-152: the tandem duplicate counts each traversal
+    bj = BackboneJunctions(tandem_accessory_pangraph, L_thr=500)
+    segments, _, depths, _ = junction_context_gfa(bj, scaffold="all")
+    a = next(n for n in segments if n.endswith("__500"))
+    assert depths[a] == 3
