@@ -181,6 +181,13 @@ def main():
     from pangraph_tpu.ops.batch_align import TpuBatchAligner
 
     plasmids = read_fasta("/root/reference/data/russian_doll_plasmids.fa.gz")
+    # second real dataset: the pypangraph package's 15-plasmid set (1.46 Mbp,
+    # heavy accessory content; the reference ships its own binary's graph of
+    # the same data, pinned by tests/test_pypangraph_real_fixture_ported.py)
+    import os as _os0
+
+    _pp = "/root/reference/packages/pypangraph/tests/data/plasmids.fa.gz"
+    plasmids15 = read_fasta(_pp) if _os0.path.exists(_pp) else None
     synth = make_synthetic(n_genomes=12, length=120_000, seed=42)
     # chromosome-scale mutation-only workload (all-core; DP scaling detail)
     scale = make_synthetic(n_genomes=4, length=2_500_000, seed=7, sub_rate=0.005)
@@ -201,6 +208,8 @@ def main():
     _ = build(synth, args_s, aligner=aligner)
 
     pl_dt, pl_graph, _ = timed_build(plasmids, args_p, aligner, repeats=3)
+    if plasmids15 is not None:
+        p15_dt, p15_graph, _ = timed_build(plasmids15, args_p, aligner, repeats=2)
     sy_dt, sy_graph, _ = timed_build(synth, args_s, aligner, repeats=2)
     sc_dt, sc_graph, _ = timed_build(scale, args_c, aligner, repeats=2)
     # host parallel efficiency: fully serial baseline (1 merge thread, 1 DP
@@ -254,6 +263,10 @@ def main():
                     "chromosome_scale_4x2.5Mbp_mutation_only": workload_report(scale, sc_dt, sc_graph),
                     "synthetic_12x120kb_mutation_only": sy,
                     "russian_doll_plasmids": workload_report(plasmids, pl_dt, pl_graph),
+                    "real_plasmids_15x": (
+                        workload_report(plasmids15, p15_dt, p15_graph)
+                        if plasmids15 is not None else None
+                    ),
                     "device_kernel_probe": kernel_probe,
                     "baseline": "reference pangraph v1: 46 Mbp real E. coli in ~300 s on 4 CPU cores "
                     "(BASELINE.md); ours is a structure-matched synthetic (LFS stub environment)",

@@ -62,6 +62,11 @@ def main() -> int:
     fastas = sorted(
         p for p in list(data.glob("*.fa")) + list(data.glob("*.fa.gz")) if is_real_fasta(p)
     )
+    # the pypangraph package ships a second real dataset (15 plasmids,
+    # ~1.46 Mbp) alongside the reference's own graph of it
+    pp_plasmids = data.parent / "packages" / "pypangraph" / "tests" / "data" / "plasmids.fa.gz"
+    if pp_plasmids.exists() and is_real_fasta(pp_plasmids):
+        fastas.append(pp_plasmids)
     if not fastas:
         print("no real FASTA datasets found", file=sys.stderr)
         return 1

@@ -131,3 +131,28 @@ def test_russian_doll_plasmids(plasmids_fasta_path):
     assert total < 0.45 * input_total
     assert core > 25_000
     assert max(b.depth() for b in g.blocks.values()) == 4
+
+
+@pytest.mark.slow
+def test_real_plasmids_15x(tmp_path):
+    """Second real dataset: the pypangraph package's 15-plasmid set
+    (~1.46 Mbp; the reference ships its own binary's graph of the same data
+    as tests/data/plasmids.json). Build must round-trip exactly and land in
+    the same structural regime as the reference's graph (137 blocks, 27
+    core, heavy accessory content) — block boundaries legitimately differ
+    across mappers (BASELINE.json stance)."""
+    import os
+
+    path = "/root/reference/packages/pypangraph/tests/data/plasmids.fa.gz"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout unavailable")
+    recs = read_fasta(path)
+    assert len(recs) == 15
+    g = run_build(recs, circular=True)
+    total = sum(b.consensus_len() for b in g.blocks.values())
+    input_total = sum(len(r.seq) for r in recs)
+    # heavy-accessory plasmid set: strong compression, moderate core
+    assert total < 0.25 * input_total
+    assert 50 <= len(g.blocks) <= 400  # reference's own graph: 137
+    core = sum(g.blocks[b].consensus_len() for b in g.core_block_ids())
+    assert core > 20_000
