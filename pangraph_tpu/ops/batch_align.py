@@ -270,7 +270,11 @@ class TpuBatchAligner:
     # ------------------------------------------------------------------ impl
     # v2-kernel tiers: R_cap ladder; batch size derived from a paths-buffer
     # budget so each (R_cap, B) tier compiles exactly once
-    R_TIERS = (4096, 16384, 65536, 131072, 262144, 524288, 1048576, 2097152, 4194304)
+    # 10240 sits between the small tier and 16384 for the dominant pin-split
+    # piece regime (~8.2-8.7 kb incl. indel slack): on bandwidth-degraded
+    # links the H2D input transfer scales with R_cap, and 10240 lifts that
+    # tier's occupancy from ~55% to ~85%
+    R_TIERS = (4096, 10240, 16384, 65536, 131072, 262144, 524288, 1048576, 2097152, 4194304)
     V2_BYTES = 2 * 1024 * 1024 * 1024  # per-batch paths-buffer budget (v2 kernel)
     # paths bytes/problem beyond which the checkpointed DP + window re-derive
     # walk is FORCED (HBM holds carries, ~20-100x smaller; kernel-parity
