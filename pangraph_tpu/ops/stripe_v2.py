@@ -599,12 +599,17 @@ def walk_v2(paths, rlen, qlen, ms, W, R_cap: int, B: int, K: int):
     C = DP_C
     WN = B + C
     m = paths.shape[0]
-    # pick the walk chunk: bound the VMEM block to ~4 MB, <= R_cap
+    # pick the walk chunk: bound the VMEM block to ~4 MB, <= R_cap, and a
+    # DIVISOR of R_cap (tiers like 10240 = 5*2048 are not powers of two)
     cw = 1024
-    while cw * 2 <= min(R_cap, 8192) and cw * 2 * WN * 2 <= 4 * 1024 * 1024:
+    while (
+        cw * 2 <= min(R_cap, 8192)
+        and cw * 2 * WN * 2 <= 4 * 1024 * 1024
+        and R_cap % (cw * 2) == 0
+    ):
         cw *= 2
     cw = min(cw, R_cap)
-    assert R_cap % cw == 0
+    assert R_cap % cw == 0, (R_cap, cw)
     n_chunks = R_cap // cw
     grid = (m, n_chunks)
 

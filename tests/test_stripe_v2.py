@@ -94,3 +94,16 @@ def test_v2_multichunk():
     edit = align_v2(ref, qry, 0, B, 1024)
     host = map_variations(ref, qry, BandParameters(0, (B - 2) // 2), BandedAlignParams(), 0)
     assert edit == host
+
+
+def test_v2_non_power_of_two_tier_10240():
+    """The 10240 R-cap tier (5 * 2048 — not a power of two) must satisfy the
+    walk kernel's chunk-divisor selection (stripe_v2.walk_v2 picks the
+    largest power-of-two chunk that divides R_cap) and stay edit-exact."""
+    rng = np.random.default_rng(23)
+    B = 128
+    ref = ACGT[rng.integers(0, 4, 9000)]
+    qry = mutate(ref, 90, 6, 6, rng)
+    edit = align_v2(ref, qry, 0, B, 10240)
+    host = map_variations(ref, qry, BandParameters(0, (B - 2) // 2), BandedAlignParams(), 0)
+    assert edit == host
