@@ -184,10 +184,10 @@ def main():
     # second real dataset: the pypangraph package's 15-plasmid set (1.46 Mbp,
     # heavy accessory content; the reference ships its own binary's graph of
     # the same data, pinned by tests/test_pypangraph_real_fixture_ported.py)
-    import os as _os0
+    import os
 
     _pp = "/root/reference/packages/pypangraph/tests/data/plasmids.fa.gz"
-    plasmids15 = read_fasta(_pp) if _os0.path.exists(_pp) else None
+    plasmids15 = read_fasta(_pp) if os.path.exists(_pp) else None
     synth = make_synthetic(n_genomes=12, length=120_000, seed=42)
     # chromosome-scale mutation-only workload (all-core; DP scaling detail)
     scale = make_synthetic(n_genomes=4, length=2_500_000, seed=7, sub_rate=0.005)
@@ -214,13 +214,11 @@ def main():
     sc_dt, sc_graph, _ = timed_build(scale, args_c, aligner, repeats=2)
     # host parallel efficiency: fully serial baseline (1 merge thread, 1 DP
     # thread, 1 mapper thread, 1 sketch thread) vs the parallel build above.
-    import os as _os
-
-    _os.environ["PANGRAPH_TPU_NATIVE_THREADS"] = "1"
+    os.environ["PANGRAPH_TPU_NATIVE_THREADS"] = "1"
     try:
         sy1_dt, _g, _ = timed_build(synth, BuildArgs(circular=True, jobs=1), aligner, repeats=1)
     finally:
-        _os.environ.pop("PANGRAPH_TPU_NATIVE_THREADS", None)
+        os.environ.pop("PANGRAPH_TPU_NATIVE_THREADS", None)
     # HEADLINE: repeats=3. The small workloads above do NOT touch the
     # headline's kernel tiers (r4: ~69 of 101 align-engine seconds were
     # cold compiles inside the measured run) — rep 1 warms every shape the
@@ -233,8 +231,6 @@ def main():
 
     ec = workload_report(ecoli, ec_dt, ec_graph, ec_align)
     sy = workload_report(synth, sy_dt, sy_graph)
-    import os
-
     sy["host_scaling"] = {
         "serial_wall_s": round(sy1_dt, 2),
         "parallel_wall_s": round(sy_dt, 2),

@@ -219,7 +219,10 @@ class BackboneJunctions:
                         "strand": j.is_canonical(),
                     }
                 )
-        return pd.DataFrame(rows).set_index(["edge", "iso"])
+        df = pd.DataFrame(rows)
+        if df.empty:
+            return df  # no edges (e.g. an empty graph) — positions.py:44-45
+        return df.set_index(["edge", "iso"])
 
     def sequences(self, edge_str: str) -> dict:
         """{isolate -> co-oriented sequence string} spanning left flank start

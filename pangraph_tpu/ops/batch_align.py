@@ -418,16 +418,18 @@ class TpuBatchAligner:
 
                 t0 = _t.time()
                 np.asarray(jax.device_put(np.arange(16, dtype=np.int32)))
-                if kind == "tpu":
+                elapsed = _t.time() - t0
+                if kind == "tpu" and elapsed <= timeout:
                     # measured data-path round trip: feeds the routing
                     # gate's per-round overhead model (a 16-40 ms healthy
                     # link and a ~200 ms degraded one need very different
-                    # mixed/host-only decisions). The first probe can
-                    # include one-time transfer setup — rounds only get
-                    # cheaper, so treating it as the overhead is the safe
-                    # (pessimistic) direction; warm slope observations
-                    # correct the model from there.
-                    cls.MEASURED_RTT = _t.time() - t0
+                    # mixed/host-only decisions). ABANDONED probes (elapsed
+                    # beyond their own timeout — e.g. chip-reclaim zombies
+                    # completing minutes later) must not write: a stale
+                    # 60-120 s value would pin the model at the cap for the
+                    # whole build. Fast device rounds decay a too-high
+                    # estimate back down (_observe_rate).
+                    cls.MEASURED_RTT = elapsed
                 box["v"] = kind
             except Exception:
                 # a TRANSFER error on a tpu backend is transient link
@@ -560,7 +562,22 @@ class TpuBatchAligner:
             # the device rate EMA is a SLOPE: per-round overhead (latency +
             # pack/decode floor) is modeled separately, so a round's wall is
             # predicted as overhead + cells/_dev_rate
-            secs = max(secs - self._effective_dev_lat(), 1e-3)
+            L = self._effective_dev_lat()
+            if secs < L:
+                # the round beat the modeled overhead outright: the RTT
+                # estimate is stale (e.g. a slow init probe on a link that
+                # later recovered) — decay it toward the observed wall.
+                # Review finding: without this, nothing ever re-lowers
+                # MEASURED_RTT and the gate stays pinned pessimistic.
+                type(self).MEASURED_RTT = max(secs * 0.5, 1e-3)
+                return
+            if secs <= 1.5 * L:
+                # overhead-dominated observation: subtracting L would leave
+                # a tiny residual and record an absurd slope, which would
+                # then DEFEAT the never-lose gate (review finding: inflated
+                # d makes mixed_wall ~= L and hands the device everything)
+                return
+            secs -= L
         obs = cells / secs
         attr = "_host_rate" if which == "host" else "_dev_rate"
         prev = getattr(self, attr)

@@ -231,6 +231,28 @@ def test_measured_rtt_raises_modeled_latency(monkeypatch):
     assert al._effective_dev_lat() == 0.03  # floor: the env default holds
 
 
+def test_dev_rate_observation_overhead_rules(monkeypatch):
+    """Slope observations must never be computed from an overhead-dominated
+    wall (an inflated slope would defeat the never-lose gate), and a round
+    that beats the modeled overhead outright decays the stale RTT."""
+    al = TpuBatchAligner(BandedAlignParams())
+    al._dev_lat = 0.03
+    C = TpuBatchAligner.RATE_MIN_CELLS
+    # stale high RTT (e.g. a slow init probe): modeled overhead = 0.5 s
+    monkeypatch.setattr(TpuBatchAligner, "MEASURED_RTT", 0.5)
+    # a warm round WALLING 0.3 s < overhead: no slope recorded, RTT decays
+    al._observe_rate("dev", C, 0.3)
+    assert al._dev_rate is None
+    assert TpuBatchAligner.MEASURED_RTT == pytest.approx(0.15)
+    # overhead-dominated (secs <= 1.5 * L): still no slope information
+    monkeypatch.setattr(TpuBatchAligner, "MEASURED_RTT", 0.5)
+    al._observe_rate("dev", C, 0.6)
+    assert al._dev_rate is None
+    # informative observation: slope = cells / (secs - L)
+    al._observe_rate("dev", C, 1.5)
+    assert al._dev_rate == pytest.approx(C / 1.0)
+
+
 def test_latency_gate_periodic_reprobe(monkeypatch):
     """After 8 consecutive gated rounds of measurable size, the device gets
     one rate-observation slice so a recovered link can re-earn its share."""
