@@ -545,6 +545,13 @@ class TpuBatchAligner:
     # participation made the 46 Mbp build slower than host-only — retries
     # and round barriers eat any split whose predicted win is marginal)
     MIXED_GUARANTEE = float(os.environ.get("PANGRAPH_TPU_MIXED_GUARANTEE", 0.85))
+    # ...and the device slope must beat the host rate outright by this
+    # factor. The overlap model alone predicts a ~2x win even at EQUAL
+    # rates, but measured break-even runs (r4: 75 s, and a same-regime 63 s
+    # run in r5) show the overlap benefit does not materialize — round
+    # barriers, decode, and band-cap retries eat it. Healthy windows
+    # measure d/h = 1.8-2.8x and pass easily.
+    DEVICE_MIN_ADVANTAGE = float(os.environ.get("PANGRAPH_TPU_DEVICE_MIN_ADVANTAGE", 1.3))
     # unproven-device probe: until a warm device rate is observed, each
     # round's device share is capped at this many cells, and the device leg
     # is detachable — if it lags PROBE_WAIT_S (a remote compile on a
@@ -665,7 +672,7 @@ class TpuBatchAligner:
             L = self._effective_dev_lat()
             host_only_wall = C / h
             mixed_wall = (L * d + C) / (d + h)
-            if mixed_wall < host_only_wall * self.MIXED_GUARANTEE:
+            if d >= self.DEVICE_MIN_ADVANTAGE * h and mixed_wall < host_only_wall * self.MIXED_GUARANTEE:
                 budget = max(budget, int(h * (L * d + C) / (d + h)))
                 # anti-stickiness (ADVICE r3): a transient device slowdown
                 # can shrink the device share below RATE_MIN_CELLS, after

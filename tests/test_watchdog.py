@@ -121,10 +121,11 @@ def test_unhealthy_device_routes_all_to_host(monkeypatch):
 
 
 def test_adaptive_split_tracks_engine_rates(monkeypatch):
-    """With warm rate estimates for both engines, _run_round splits the
-    round's DP cells proportionally (host share = hr / (hr + dr)) so the
-    overlapped round finishes soonest — a slow-but-alive device serves a
-    small share instead of gating every round."""
+    """With warm rate estimates for both engines AND a device slope clearing
+    DEVICE_MIN_ADVANTAGE, _run_round splits the round's DP cells so the
+    overlapped pair finishes soonest (host share = h(Ld+C)/(d+h)); a device
+    that is not genuinely faster than the host is gated to host-only
+    (measured: the overlap benefit does not materialize at break-even)."""
     from pangraph_tpu import native
 
     if native.get_lib() is None:
@@ -158,18 +159,19 @@ def test_adaptive_split_tracks_engine_rates(monkeypatch):
     # gate itself is covered by test_latency_gate_routes_host_only below)
     al._dev_lat = 0.0
 
-    # equal rates -> ~half the cells on host (latency floor adds one job)
+    # device 3x faster -> host keeps ~1/4 of the cells, device the rest
+    al._host_rate = 1e9
+    al._dev_rate = 3e9
+    al._run_round(jobs, [j.band.band_width + al.extra for j in jobs])
+    assert 2 <= seen["host"] <= 5
+    assert seen["host"] + seen["dev"] == 12
+
+    # break-even device (below DEVICE_MIN_ADVANTAGE) -> gated to host-only
+    seen["dev"] = 0
     al._host_rate = 1e9
     al._dev_rate = 1e9
     al._run_round(jobs, [j.band.band_width + al.extra for j in jobs])
-    assert 5 <= seen["host"] <= 7
-    assert seen["host"] + seen["dev"] == 12
-
-    # device 4x slower -> host takes ~4/5 of the round
-    al._host_rate = 1e9
-    al._dev_rate = 0.25e9
-    al._run_round(jobs, [j.band.band_width + al.extra for j in jobs])
-    assert seen["host"] >= 9
+    assert seen["host"] == 12 and seen["dev"] == 0
 
     # EMA: small (latency-dominated) observations are ignored
     before = al._host_rate
