@@ -818,3 +818,32 @@ def test_accessory_depth_counts_repeats_on_same_path(tandem_accessory_pangraph):
     segments, _, depths, _ = junction_context_gfa(bj, scaffold="all")
     a = next(n for n in segments if n.endswith("__500"))
     assert depths[a] == 3
+
+
+# -------------------------------------------------------------- plots suite #
+def test_linear_junction_plot_smoke(junction_pangraph):
+    # test_plots.py:11-17: the plot renders end-to-end on the fixture
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from pangraph_tpu.analysis.plots import linear_junction_plot
+
+    bj = BackboneJunctions(junction_pangraph, L_thr=500)
+    edge = next(iter(bj.edges()))
+    fig, ax = plt.subplots()
+    linear_junction_plot(bj, edge, ax=ax)
+    plt.close(fig)
+
+
+def test_block_dotplot_smoke(junction_pangraph):
+    # plots/dotplot.py smoke on the fixture's two forward strains
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from pangraph_tpu.analysis.plots import block_dotplot
+
+    fig, ax = plt.subplots()
+    block_dotplot(junction_pangraph, "s1", "s2", ax=ax)
+    plt.close(fig)
