@@ -209,3 +209,27 @@ def test_fasta_writer_multiple_records(rd, tmp_path):
     assert [(r.seq_name, r.desc, S(r)) for r in back] == [
         (r.seq_name, r.desc, S(r)) for r in recs
     ]
+
+
+def test_multi_file_concat_no_trailing_newline(tmp_path):
+    """io/concat.rs behavior at our level: reading multiple files must not
+    merge records across a file boundary even when the first file lacks a
+    trailing newline (the reference splices a delimiter between streams;
+    our reader opens files separately — same observable result)."""
+    f1 = tmp_path / "a.fa"
+    f1.write_text(">a\nACGT")  # no trailing newline
+    f2 = tmp_path / "b.fa"
+    f2.write_text(">b\nGGCC\n")
+    recs = read_fasta([str(f1), str(f2)])
+    assert [(r.seq_name, S(r), r.index) for r in recs] == [("a", "ACGT", 0), ("b", "GGCC", 1)]
+
+
+def test_multi_file_concat_empty_file_errors(tmp_path):
+    """A record-less file in a multi-file read is reported with its path
+    (concat.rs empty-stream cases, surfaced as our per-file error)."""
+    f1 = tmp_path / "a.fa"
+    f1.write_text(">a\nACGT\n")
+    f2 = tmp_path / "empty.fa"
+    f2.write_text("\n\n")
+    with pytest.raises(FastaError, match="empty.fa"):
+        read_fasta([str(f1), str(f2)])
