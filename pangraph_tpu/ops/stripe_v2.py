@@ -993,20 +993,11 @@ def ckpt_layout(B: int, g_w: int = 8):
     return wv, n_qb
 
 
-@functools.partial(jax.jit, static_argnames=("R_cap", "B", "K", "S", "n_qb", "g_size"))
-def stripe_align_v2_ckpt(ref_seq, qry_seq, rlen, qlen, ms, W, gmax,
-                         R_cap: int, B: int, K: int, S: int, n_qb: int, g_size: int = G):
-    """Checkpointed device pipeline for Mbp-scale problems: DP checkpoint
-    pass (no path records in HBM) + window re-derive walk. Output contract
-    identical to stripe_align_v2."""
-    from pangraph_tpu.graph.seq import IUPAC_MASK
-
-    m, Wq = qry_seq.shape
+def _ckpt_from_masks(ref_mask, qry_mask, rlen, qlen, ms, W, gmax,
+                     R_cap: int, B: int, K: int, S: int, n_qb: int, g_size: int):
+    m, Wq = qry_mask.shape
     assert Wq == R_cap + B
     WV = S * DP_C
-    iupac = jnp.asarray(IUPAC_MASK)
-    ref_mask = jnp.take(iupac, ref_seq.astype(jnp.int32), mode="clip").astype(jnp.int32)
-    qry_mask = jnp.take(iupac, qry_seq.astype(jnp.int32), mode="clip")
     shift = ms + W
     t = jnp.arange(Wq, dtype=jnp.int32)[None, :]
     rolled = jax.vmap(lambda row, s: jnp.roll(row, s))(qry_mask, shift)
@@ -1021,6 +1012,55 @@ def stripe_align_v2_ckpt(ref_seq, qry_seq, rlen, qlen, ms, W, gmax,
     return {"rows": rows, "words": words, "n_events": n_events, "meta": meta}
 
 
+@functools.partial(jax.jit, static_argnames=("R_cap", "B", "K", "S", "n_qb", "g_size"))
+def stripe_align_v2_ckpt(ref_seq, qry_seq, rlen, qlen, ms, W, gmax,
+                         R_cap: int, B: int, K: int, S: int, n_qb: int, g_size: int = G):
+    """Checkpointed device pipeline for Mbp-scale problems: DP checkpoint
+    pass (no path records in HBM) + window re-derive walk. Output contract
+    identical to stripe_align_v2."""
+    from pangraph_tpu.graph.seq import IUPAC_MASK
+
+    iupac = jnp.asarray(IUPAC_MASK)
+    ref_mask = jnp.take(iupac, ref_seq.astype(jnp.int32), mode="clip").astype(jnp.int32)
+    qry_mask = jnp.take(iupac, qry_seq.astype(jnp.int32), mode="clip")
+    return _ckpt_from_masks(ref_mask, qry_mask, rlen, qlen, ms, W, gmax, R_cap, B, K, S, n_qb, g_size)
+
+
+@functools.partial(jax.jit, static_argnames=("R_cap", "B", "K", "S", "n_qb", "g_size"))
+def stripe_align_v2_ckpt_packed(ref_packed, qry_packed, rlen, qlen, ms, W, gmax,
+                                R_cap: int, B: int, K: int, S: int, n_qb: int, g_size: int = G):
+    """stripe_align_v2_ckpt with nibble-packed inputs (see
+    stripe_align_v2_packed) — halves the H2D transfer of Mbp-scale jobs."""
+    ref_mask = _unpack_nibbles(ref_packed).astype(jnp.int32)
+    qry_mask = _unpack_nibbles(qry_packed)
+    return _ckpt_from_masks(ref_mask, qry_mask, rlen, qlen, ms, W, gmax, R_cap, B, K, S, n_qb, g_size)
+
+
+def _v2_from_masks(ref_mask, qry_mask, rlen, qlen, ms, W, gmax, R_cap: int, B: int, K: int, g_size: int):
+    """Shared tail of the v2 pipeline once IUPAC masks exist on device:
+    pre-shift the query, run the DP and the run-jump walk."""
+    m, Wq = qry_mask.shape
+    assert Wq == R_cap + B
+    shift = ms + W
+    t = jnp.arange(Wq, dtype=jnp.int32)[None, :]
+    rolled = jax.vmap(lambda row, s: jnp.roll(row, s))(qry_mask, shift)
+    valid = (t >= shift[:, None]) & (t < shift[:, None] + qlen[:, None])
+    qsh = jnp.where(valid, rolled, 0).astype(jnp.uint8)
+
+    paths = stripe_dp_v2(ref_mask, qsh, rlen, qlen, ms, W, gmax, R_cap, B, g_size)
+    rows, words, n_events, meta = walk_v2(paths, rlen, qlen, ms, W, R_cap, B, K)
+    return {"rows": rows, "words": words, "n_events": n_events, "meta": meta}
+
+
+def _unpack_nibbles(packed):
+    """[m, L/2] uint8 (two 4-bit IUPAC masks per byte, high nibble first)
+    -> [m, L] uint8 masks."""
+    hi = (packed >> 4).astype(jnp.uint8)
+    lo = (packed & jnp.uint8(15)).astype(jnp.uint8)
+    m, half = packed.shape
+    return jnp.stack([hi, lo], axis=-1).reshape(m, half * 2)
+
+
 @functools.partial(jax.jit, static_argnames=("R_cap", "B", "K", "g_size"))
 def stripe_align_v2(ref_seq, qry_seq, rlen, qlen, ms, W, gmax, R_cap: int, B: int, K: int = 512, g_size: int = G):
     """Full device pipeline: DP -> run-jump walk with direct event emission.
@@ -1031,20 +1071,31 @@ def stripe_align_v2(ref_seq, qry_seq, rlen, qlen, ms, W, gmax, R_cap: int, B: in
     Event counts > K are flagged via n_events (host retries those jobs)."""
     from pangraph_tpu.graph.seq import IUPAC_MASK
 
-    m, Wq = qry_seq.shape
-    assert Wq == R_cap + B
     iupac = jnp.asarray(IUPAC_MASK)
     ref_mask = jnp.take(iupac, ref_seq.astype(jnp.int32), mode="clip").astype(jnp.int32)
     qry_mask = jnp.take(iupac, qry_seq.astype(jnp.int32), mode="clip")
-    shift = ms + W
-    t = jnp.arange(Wq, dtype=jnp.int32)[None, :]
-    rolled = jax.vmap(lambda row, s: jnp.roll(row, s))(qry_mask, shift)
-    valid = (t >= shift[:, None]) & (t < shift[:, None] + qlen[:, None])
-    qsh = jnp.where(valid, rolled, 0).astype(jnp.uint8)
+    return _v2_from_masks(ref_mask, qry_mask, rlen, qlen, ms, W, gmax, R_cap, B, K, g_size)
 
-    paths = stripe_dp_v2(ref_mask, qsh, rlen, qlen, ms, W, gmax, R_cap, B, g_size)
-    rows, words, n_events, meta = walk_v2(paths, rlen, qlen, ms, W, R_cap, B, K)
-    return {"rows": rows, "words": words, "n_events": n_events, "meta": meta}
+
+@functools.partial(jax.jit, static_argnames=("R_cap", "B", "K", "g_size"))
+def stripe_align_v2_packed(ref_packed, qry_packed, rlen, qlen, ms, W, gmax,
+                           R_cap: int, B: int, K: int = 512, g_size: int = G):
+    """stripe_align_v2 with nibble-packed inputs: the host packs two 4-bit
+    IUPAC masks per byte (pack_nibbles_host), HALVING the H2D transfer —
+    on bandwidth-degraded links input transfer dominates the per-round
+    device cost. Output-identical to the raw-byte wrapper."""
+    ref_mask = _unpack_nibbles(ref_packed).astype(jnp.int32)
+    qry_mask = _unpack_nibbles(qry_packed)
+    return _v2_from_masks(ref_mask, qry_mask, rlen, qlen, ms, W, gmax, R_cap, B, K, g_size)
+
+
+def pack_nibbles_host(codes: "np.ndarray") -> "np.ndarray":
+    """[m, L] uint8 IUPAC masks (values 0-15, L even) -> [m, L/2] uint8,
+    high nibble first (numpy, host side)."""
+    import numpy as _np
+
+    assert codes.shape[1] % 2 == 0
+    return (codes[:, 0::2] << 4 | codes[:, 1::2]).astype(_np.uint8)
 
 
 def edit_from_events(rows, words, n_events, meta, ref: np.ndarray, qry: np.ndarray):

@@ -107,3 +107,34 @@ def test_v2_non_power_of_two_tier_10240():
     edit = align_v2(ref, qry, 0, B, 10240)
     host = map_variations(ref, qry, BandParameters(0, (B - 2) // 2), BandedAlignParams(), 0)
     assert edit == host
+
+
+def test_v2_packed_inputs_match_raw():
+    """stripe_align_v2_packed (nibble-packed H2D inputs) must be
+    output-identical to the raw-byte wrapper."""
+    import numpy as np
+
+    from pangraph_tpu.graph.seq import IUPAC_MASK
+    from pangraph_tpu.ops.stripe_v2 import pack_nibbles_host, stripe_align_v2, stripe_align_v2_packed
+
+    rng = np.random.default_rng(29)
+    m, B, R_cap, L = 8, 128, 512, 400
+    ref_seq = np.zeros((m, R_cap), np.uint8)
+    qry_seq = np.zeros((m, R_cap + B), np.uint8)
+    for s in range(m):
+        r = ACGT[rng.integers(0, 4, L)]
+        q = mutate(r, 8, 2, 2, rng)
+        ref_seq[s, : len(r)] = r
+        qry_seq[s, : len(q)] = q
+    rlen = np.full(m, L, np.int32)
+    qlen = np.array([np.count_nonzero(qry_seq[s]) for s in range(m)], np.int32)
+    ms = np.zeros(m, np.int32)
+    W = np.full(m, (B - 2) // 2, np.int32)
+    gmax = rlen.reshape(-1, 8).max(axis=1).astype(np.int32)
+    raw = stripe_align_v2(ref_seq, qry_seq, rlen, qlen, ms, W, gmax, R_cap, B, 256, 8)
+    packed = stripe_align_v2_packed(
+        pack_nibbles_host(IUPAC_MASK[ref_seq]), pack_nibbles_host(IUPAC_MASK[qry_seq]),
+        rlen, qlen, ms, W, gmax, R_cap, B, 256, 8,
+    )
+    for k in ("rows", "words", "n_events", "meta"):
+        np.testing.assert_array_equal(np.asarray(raw[k]), np.asarray(packed[k]))
