@@ -151,6 +151,11 @@ class TpuBatchAligner:
         # adaptive rounds since the device rate was last observable (ADVICE
         # r3: a starved device share can pin routing host-side forever)
         self._dev_starved = 0
+        # gated-round probe period: starts at 8, doubles (to 64) each time a
+        # probe slice confirms the device is still below the advantage bar —
+        # a persistently awful link costs ever fewer probe slices, while a
+        # recovery (gate opens) resets the cadence
+        self._probe_period = 8
         import threading
 
         self._mem_lock = threading.Condition()
@@ -673,6 +678,7 @@ class TpuBatchAligner:
             host_only_wall = C / h
             mixed_wall = (L * d + C) / (d + h)
             if d >= self.DEVICE_MIN_ADVANTAGE * h and mixed_wall < host_only_wall * self.MIXED_GUARANTEE:
+                self._probe_period = 8
                 budget = max(budget, int(h * (L * d + C) / (d + h)))
                 # anti-stickiness (ADVICE r3): a transient device slowdown
                 # can shrink the device share below RATE_MIN_CELLS, after
@@ -687,14 +693,16 @@ class TpuBatchAligner:
                             self._dev_starved = 0
             else:
                 # device predicted not to help this round: host-only. Every
-                # 8th such round of measurable size gives the device a
-                # rate-observation slice anyway (sized to fit inside the
-                # host leg's predicted wall), so a recovered/faster link
-                # can re-earn its share instead of staying gated forever.
+                # _probe_period-th such round of measurable size gives the
+                # device a rate-observation slice anyway, so a recovered/
+                # faster link can re-earn its share instead of staying gated
+                # forever; the period doubles (to 64) while the link keeps
+                # failing the bar, so an awful day costs ever fewer slices.
                 self._dev_starved += 1
-                if self._dev_starved >= 8 and C >= 2 * self.RATE_MIN_CELLS:
+                if self._dev_starved >= self._probe_period and C >= 2 * self.RATE_MIN_CELLS:
                     budget = max(budget, C - self.RATE_MIN_CELLS)
                     self._dev_starved = 0
+                    self._probe_period = min(self._probe_period * 2, 64)
                 else:
                     budget = 1 << 62
         native_set = set()

@@ -285,6 +285,15 @@ def test_latency_gate_periodic_reprobe(monkeypatch):
     al._run_round(jobs, [j.band.band_width + al.extra for j in jobs])
     assert seen["dev"] > 0, "8th gated round must include a device probe slice"
     assert al._dev_starved == 0
+    # the probe period backs off while the link keeps failing the bar...
+    assert al._probe_period == 16
+    # ...and resets once the device clears the advantage gate
+    seen["dev"] = 0
+    al._dev_rate = 5e9
+    al._dev_lat = 0.0
+    al._run_round(jobs, [j.band.band_width + al.extra for j in jobs])
+    assert seen["dev"] > 0
+    assert al._probe_period == 8
 
 
 def test_broker_coalesces_concurrent_device_rounds(monkeypatch):
