@@ -287,7 +287,10 @@ def test_latency_gate_periodic_reprobe(monkeypatch):
     assert al._dev_starved == 0
     # the probe period backs off while the link keeps failing the bar...
     assert al._probe_period == 16
-    # ...and resets once the device clears the advantage gate
+    # ...and resets once the device clears the advantage gate. (Phase 1's
+    # mocked fast round legitimately triggered the RTT-decay branch and set
+    # MEASURED_RTT; clear it so this phase tests the gate in isolation.)
+    monkeypatch.setattr(TpuBatchAligner, "MEASURED_RTT", None)
     seen["dev"] = 0
     al._dev_rate = 5e9
     al._dev_lat = 0.0
