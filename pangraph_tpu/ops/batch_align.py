@@ -651,12 +651,14 @@ class TpuBatchAligner:
 
         max_w_kernel = (self.MAX_B - 2) // 2
         cells = [self._job_cells(j, w) for j, w in zip(jobs, widths)]
-        # adaptive split: once both engines have measured warm rates, give
-        # the host the share that makes the overlapped round finish soonest
-        # (wall = total / (host_rate + dev_rate) when split proportionally).
-        # This keeps the build fast on hardware where the device link is
-        # slow-but-alive (the watchdog only covers full stalls): a slow
-        # device then serves a small share instead of gating every round.
+        # adaptive split: once both engines have measured warm rates, the
+        # device participates ONLY when its slope beats the host rate by
+        # DEVICE_MIN_ADVANTAGE and the modeled mixed wall beats host-only
+        # by MIXED_GUARANTEE (measured twice: the overlap win never
+        # materializes at break-even). Otherwise rounds run host-only,
+        # with an exponentially backed-off probe slice so a recovered
+        # link can re-earn its share; a fully stalled link is quarantined
+        # by the watchdog.
         if budget < (1 << 62) and self._dev_rate is None:
             if self._probe_inflight:
                 # a probe leg is still compiling/running: everything host
@@ -700,7 +702,12 @@ class TpuBatchAligner:
                 # failing the bar, so an awful day costs ever fewer slices.
                 self._dev_starved += 1
                 if self._dev_starved >= self._probe_period and C >= 2 * self.RATE_MIN_CELLS:
-                    budget = max(budget, C - self.RATE_MIN_CELLS)
+                    # CAP the host budget so the device slice is at least
+                    # RATE_MIN_CELLS — max() here would let a small round's
+                    # host budget squeeze the slice below the observable
+                    # threshold, resetting the counter without ever
+                    # measuring a rate (review finding)
+                    budget = C - self.RATE_MIN_CELLS
                     self._dev_starved = 0
                     self._probe_period = min(self._probe_period * 2, 64)
                 else:
@@ -1261,36 +1268,32 @@ class TpuBatchAligner:
             for sub, g_sz, m_pad, R_cap, B, K, _bb, ck in planned:
                 with trace.span("align.pack"):
                     Wq = R_cap + B
-                    use_packed = self.mesh is None  # mesh path keeps raw bytes
-                    if use_packed:
-                        # nibble-pack on host: two 4-bit IUPAC masks per
-                        # byte HALVE the H2D transfer (input bandwidth is
-                        # the dominant per-round device cost on degraded
-                        # links; all tiers and B are even)
-                        ref_seq = np.zeros((m_pad, R_cap), dtype=np.uint8)
-                        qry_seq = np.zeros((m_pad, Wq), dtype=np.uint8)
-                        for s, i in enumerate(sub):
-                            j = jobs[i]
-                            ref_seq[s, : len(j.ref)] = IUPAC_MASK[j.ref]
-                            qry_seq[s, : len(j.qry)] = IUPAC_MASK[j.qry]
-                        ref_in = pack_nibbles_host(ref_seq)
-                        qry_in = pack_nibbles_host(qry_seq)
-                    else:
-                        ref_in = np.zeros((m_pad, R_cap), dtype=np.uint8)
-                        qry_in = np.zeros((m_pad, Wq), dtype=np.uint8)
-                        for s, i in enumerate(sub):
-                            j = jobs[i]
-                            ref_in[s, : len(j.ref)] = j.ref
-                            qry_in[s, : len(j.qry)] = j.qry
+                    # nibble-pack on host for the single-device path: two
+                    # 4-bit IUPAC masks per byte HALVE the H2D transfer
+                    # (input bandwidth is the dominant per-round device
+                    # cost on degraded links; all tiers and B are even).
+                    # The mesh path keeps raw bytes.
+                    use_packed = self.mesh is None
+                    ref_in = np.zeros((m_pad, R_cap), dtype=np.uint8)
+                    qry_in = np.zeros((m_pad, Wq), dtype=np.uint8)
                     rlen = np.zeros(m_pad, dtype=np.int32)
                     qlen = np.zeros(m_pad, dtype=np.int32)
                     msv = np.zeros(m_pad, dtype=np.int32)
                     Wv = np.full(m_pad, (B - 2) // 2, dtype=np.int32)
                     for s, i in enumerate(sub):
                         j = jobs[i]
+                        if use_packed:
+                            ref_in[s, : len(j.ref)] = IUPAC_MASK[j.ref]
+                            qry_in[s, : len(j.qry)] = IUPAC_MASK[j.qry]
+                        else:
+                            ref_in[s, : len(j.ref)] = j.ref
+                            qry_in[s, : len(j.qry)] = j.qry
                         rlen[s] = len(j.ref)
                         qlen[s] = len(j.qry)
                         msv[s] = j.band.mean_shift
+                    if use_packed:
+                        ref_in = pack_nibbles_host(ref_in)
+                        qry_in = pack_nibbles_host(qry_in)
                     gmax = rlen.reshape(-1, g_sz).max(axis=1).astype(np.int32)
                 with trace.span("align.dispatch"):
                     if self.mesh is not None:

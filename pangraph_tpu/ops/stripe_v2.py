@@ -1092,10 +1092,8 @@ def stripe_align_v2_packed(ref_packed, qry_packed, rlen, qlen, ms, W, gmax,
 def pack_nibbles_host(codes: "np.ndarray") -> "np.ndarray":
     """[m, L] uint8 IUPAC masks (values 0-15, L even) -> [m, L/2] uint8,
     high nibble first (numpy, host side)."""
-    import numpy as _np
-
     assert codes.shape[1] % 2 == 0
-    return (codes[:, 0::2] << 4 | codes[:, 1::2]).astype(_np.uint8)
+    return (codes[:, 0::2] << 4 | codes[:, 1::2]).astype(np.uint8)
 
 
 def edit_from_events(rows, words, n_events, meta, ref: np.ndarray, qry: np.ndarray):

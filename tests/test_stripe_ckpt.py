@@ -58,3 +58,29 @@ def test_ckpt_pipeline_matches_v2(B, L):
         assert np.array_equal(np.asarray(a["rows"][s][:na]), np.asarray(b["rows"][s][:nb])), s
         assert np.array_equal(np.asarray(a["words"][s][:na]), np.asarray(b["words"][s][:nb])), s
         assert np.array_equal(np.asarray(a["meta"][s]), np.asarray(b["meta"][s])), s
+
+
+def test_ckpt_packed_inputs_match_raw():
+    """stripe_align_v2_ckpt_packed (nibble-packed H2D inputs, the Mbp-tier
+    production path) must match the raw-byte ckpt wrapper on the valid
+    event prefix and meta."""
+    from pangraph_tpu.graph.seq import IUPAC_MASK
+    from pangraph_tpu.ops.stripe_v2 import pack_nibbles_host, stripe_align_v2_ckpt_packed
+
+    rng = np.random.default_rng(7)
+    R_cap, m, B, K, L = 4096, 8, 128, 256, 3000
+    WV, n_qb = ckpt_layout(B)
+    S = WV // DP_C
+    args = _batch(rng, m, R_cap, B, L)
+    raw = stripe_align_v2_ckpt(*args, R_cap, B, K, S, n_qb, GS)
+    ref_seq, qry_seq, *rest = args
+    packed = stripe_align_v2_ckpt_packed(
+        pack_nibbles_host(IUPAC_MASK[ref_seq]), pack_nibbles_host(IUPAC_MASK[qry_seq]),
+        *rest, R_cap, B, K, S, n_qb, GS,
+    )
+    for s in range(m):
+        na, nb = int(raw["n_events"][s]), int(packed["n_events"][s])
+        assert na == nb, s
+        assert np.array_equal(np.asarray(raw["rows"][s][:na]), np.asarray(packed["rows"][s][:nb])), s
+        assert np.array_equal(np.asarray(raw["words"][s][:na]), np.asarray(packed["words"][s][:nb])), s
+        assert np.array_equal(np.asarray(raw["meta"][s]), np.asarray(packed["meta"][s])), s
