@@ -24,6 +24,28 @@ _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
 
+# Per-thread grow-only scratch arenas for the stripe batch's flat result
+# buffers (see stripe_align_batch_native). Thread-local so concurrent merge
+# threads never share a buffer; grow-only so pages fault exactly once.
+_ARENA = threading.local()
+
+
+def _arena_buf(name: str, n: int, dtype) -> np.ndarray:
+    buf = getattr(_ARENA, name, None)
+    if buf is None or len(buf) < n:
+        grow = max(n, 0 if buf is None else (len(buf) * 3) // 2)
+        buf = np.empty(grow, dtype=dtype)
+        setattr(_ARENA, name, buf)
+    return buf[:n]
+
+
+def _arena_i32(n: int) -> np.ndarray:
+    return _arena_buf("i32", n, np.int32)
+
+
+def _arena_i64(n: int) -> np.ndarray:
+    return _arena_buf("i64", n, np.int64)
+
 
 def _build_and_load(force_scalar: bool = False):
     srcs = [os.path.join(_HERE, f) for f in ("chain.cpp", "stripe.cpp", "sketch.cpp")]
@@ -213,11 +235,15 @@ def stripe_align_batch_native(
     ms = np.ascontiguousarray(ms, dtype=np.int64)
     W = np.ascontiguousarray(W, dtype=np.int64)
     mask = np.ascontiguousarray(iupac_mask, dtype=np.uint8)
-    # np.empty, not zeros: these flat result buffers can be >100 MB per
-    # round and readers only consume [0:n_ops[j]] / [0:n_subs[j]] slices,
-    # all of which the C++ writes before returning
-    ops = np.empty(n * ops_cap * 2, dtype=np.int32)
-    subs = np.empty(n * subs_cap * 2, dtype=np.int64)
+    # The flat result buffers come from a per-thread grow-only arena, NOT a
+    # fresh np.empty per call: on this class of VM a fresh multi-hundred-MB
+    # anonymous mapping costs ~1 ms per sparsely-faulted MB (nested-virt EPT
+    # faults + huge-page zeroing), which at production caps is ~10-15 ms of
+    # hidden per-call overhead — more than the DP itself for small rounds.
+    # The arena's pages fault once per process lifetime; results are copied
+    # out compactly below, so the returned dict never aliases the arena.
+    ops = _arena_i32(n * ops_cap * 2)
+    subs = _arena_i64(n * subs_cap * 2)
     n_ops = np.zeros(n, dtype=np.int64)
     n_subs = np.zeros(n, dtype=np.int64)
     lead_ins = np.zeros(n, dtype=np.int64)
@@ -245,10 +271,22 @@ def stripe_align_batch_native(
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int32(n_threads),
     )
+    # compact per-job copies (tiny: only the entries the DP produced) so the
+    # result outlives the arena and concurrent/parity callers stay safe
+    no_list = n_ops.tolist()
+    ns_list = n_subs.tolist()
+    ops_out = [
+        ops[j * ops_cap * 2 : j * ops_cap * 2 + 2 * no_list[j]].reshape(-1, 2).copy()
+        for j in range(n)
+    ]
+    subs_out = [
+        subs[j * subs_cap * 2 : j * subs_cap * 2 + 2 * ns_list[j]].reshape(-1, 2).copy()
+        for j in range(n)
+    ]
     return {
-        "ops": ops.reshape(n, ops_cap, 2),
+        "ops": ops_out,
         "n_ops": n_ops,
-        "subs": subs.reshape(n, subs_cap, 2),
+        "subs": subs_out,
         "n_subs": n_subs,
         "lead_ins": lead_ins,
         "boundary": boundary.astype(bool),

@@ -92,18 +92,34 @@ static inline __mmask16 lanes_lt(__m512i kvec, int64_t t) {
 }
 #endif
 
-// One banded DP + traceback. Returns 0 ok, 1 boundary-retry (dead walk /
-// out of band), 2 output overflow, 3 paths buffer too large.
-int align_one(
+// Per-job DP state, split out of the former monolithic align_one so setup /
+// row / traceback are separately callable. (A row-lockstep mode that
+// interleaved two jobs' rows per thread was measured here and REMOVED: the
+// two jobs' scratch evicting each other from L1/L2 cost more than the
+// dependency-chain overlap won — nopair was 0-30% faster at every
+// production shape on this host.)
+struct JobState {
+    const uint8_t* ref;
+    const uint8_t* qry;
+    const uint8_t* mask;
+    int64_t R, Q, ms, W, stride;
+    int8_t* paths;
+    int32_t* H_prev;
+    int32_t* qry_gaps;
+    uint8_t* qmask;
+    Scratch* S;
+    const Params* P;
+    int64_t prev_b, prev_e, pprev_e;
+};
+
+// Set up scratch + row 0 for one job. Returns 0 ok, 3 paths over budget.
+int job_init(
+    JobState& J,
     const uint8_t* ref, int64_t R,
     const uint8_t* qry, int64_t Q,
     int64_t ms, int64_t W,
     const Params& P, const uint8_t* mask,
-    int64_t max_paths_bytes,
-    Scratch& S,
-    int32_t* ops, int64_t ops_cap, int64_t* n_ops_out,
-    int64_t* subs, int64_t subs_cap, int64_t* n_subs_out,
-    int64_t* lead_ins_out, int* hit_boundary_out)
+    int64_t max_paths_bytes, Scratch& S)
 {
     // stride = widest stripe. All interior rows have width 2W+2 clipped to
     // sequence edges; only rows 0 and R can be wider (forced begin/end).
@@ -117,7 +133,6 @@ int align_one(
     S.H_prev.assign((size_t)(Q + 17), NOAL);
     S.qry_gaps.assign((size_t)(Q + 17), NOAL);
     int32_t* H_prev = S.H_prev.data();
-    int32_t* qry_gaps = S.qry_gaps.data();
 
     // per-job query-side IUPAC masks, padded 1 front + 16 end
     S.qmask.assign((size_t)(Q + 17), 0);
@@ -146,9 +161,36 @@ int align_one(
     for (int64_t k = 0; k < e0; k++)
         H_prev[k] = (P.left_free || k == 0) ? 0 : -P.open - P.ext * (int32_t)(k - 1);
 
+    J.ref = ref; J.qry = qry; J.mask = mask;
+    J.R = R; J.Q = Q; J.ms = ms; J.W = W; J.stride = stride;
+    J.paths = paths;
+    J.H_prev = H_prev;
+    J.qry_gaps = S.qry_gaps.data();
+    J.qmask = qmask;
+    J.S = &S;
+    J.P = &P;
+    J.prev_b = 0;
+    J.prev_e = e0;
+    J.pprev_e = 0;
+    return 0;
+}
+
+// One DP row (the exact row body align_one always ran; just parameterized
+// on JobState so two jobs' rows can interleave on one thread).
+void job_row(JobState& J, int64_t i) {
+    const uint8_t* ref = J.ref;
+    const uint8_t* mask = J.mask;
+    const int64_t R = J.R, Q = J.Q, ms = J.ms, W = J.W, stride = J.stride;
+    int8_t* paths = J.paths;
+    int32_t* H_prev = J.H_prev;
+    int32_t* qry_gaps = J.qry_gaps;
+    uint8_t* qmask = J.qmask;
+    Scratch& S = *J.S;
+    const Params& P = *J.P;
+    const int64_t QS = Q + 17;
     const int32_t ext = P.ext, open_ = P.open, la = P.la;
-    int64_t prev_b = 0, prev_e = e0, pprev_e = 0;
-    for (int64_t i = 1; i <= R; i++) {
+    const int64_t prev_b = J.prev_b, prev_e = J.prev_e, pprev_e = J.pprev_e;
+    {
         const int64_t b = stripe_b(i, ms, W, Q);
         const int64_t e = stripe_e(i, R, ms, W, Q);
         const int64_t w = e - b;
@@ -414,12 +456,24 @@ int align_one(
             }
         }
 #endif
-        pprev_e = prev_e;
-        prev_b = b;
-        prev_e = e;
+        J.pprev_e = prev_e;
+        J.prev_b = b;
+        J.prev_e = e;
     }
+}
 
-    // traceback -> RLE ops (end-to-start) + subs (backtrace.rs:17-100)
+// traceback -> RLE ops (end-to-start) + subs (backtrace.rs:17-100).
+// Returns 0 ok, 1 boundary-retry (dead walk / out of band), 2 overflow.
+int job_traceback(
+    JobState& J,
+    int32_t* ops, int64_t ops_cap, int64_t* n_ops_out,
+    int64_t* subs, int64_t subs_cap, int64_t* n_subs_out,
+    int64_t* lead_ins_out, int* hit_boundary_out)
+{
+    const uint8_t* ref = J.ref;
+    const uint8_t* qry = J.qry;
+    const int64_t R = J.R, Q = J.Q, ms = J.ms, W = J.W, stride = J.stride;
+    const int8_t* paths = J.paths;
     int64_t i = R, q = Q;
     int state = 0;
     int64_t n_ops = 0, n_subs = 0;
@@ -480,6 +534,27 @@ int align_one(
     return 0;
 }
 
+// One banded DP + traceback. Returns 0 ok, 1 boundary-retry (dead walk /
+// out of band), 2 output overflow, 3 paths buffer too large.
+int align_one(
+    const uint8_t* ref, int64_t R,
+    const uint8_t* qry, int64_t Q,
+    int64_t ms, int64_t W,
+    const Params& P, const uint8_t* mask,
+    int64_t max_paths_bytes,
+    Scratch& S,
+    int32_t* ops, int64_t ops_cap, int64_t* n_ops_out,
+    int64_t* subs, int64_t subs_cap, int64_t* n_subs_out,
+    int64_t* lead_ins_out, int* hit_boundary_out)
+{
+    JobState J;
+    const int rc = job_init(J, ref, R, qry, Q, ms, W, P, mask, max_paths_bytes, S);
+    if (rc) return rc;
+    for (int64_t i = 1; i <= R; i++) job_row(J, i);
+    return job_traceback(J, ops, ops_cap, n_ops_out,
+                         subs, subs_cap, n_subs_out, lead_ins_out, hit_boundary_out);
+}
+
 }  // namespace
 
 extern "C" {
@@ -506,29 +581,45 @@ void stripe_align_batch(
 {
     const Params P{(int32_t)match, (int32_t)mismatch, (int32_t)open_,
                    (int32_t)ext, (int32_t)la, left_free, right_free};
+    // Size-ordered schedule: biggest DP areas first, so a large job pulled
+    // late never leaves one thread finishing alone; and since adjacent
+    // entries have similar row counts, the paired lockstep below spends
+    // almost all rows with two live dependency chains.
+    std::vector<int64_t> order((size_t)n_jobs);
+    for (int64_t j = 0; j < n_jobs; j++) order[(size_t)j] = j;
+    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+        const int64_t wa = std::min<int64_t>(2 * W[a] + 2, qry_len[a] + 1);
+        const int64_t wb = std::min<int64_t>(2 * W[b] + 2, qry_len[b] + 1);
+        const int64_t aa = ref_len[a] * wa, ab = ref_len[b] * wb;
+        if (aa != ab) return aa > ab;
+        return a < b;  // deterministic total order
+    });
+    const int nt = (int)std::min<int64_t>(std::max(n_threads, 1), n_jobs);
     std::atomic<int64_t> next(0);
+    auto run_solo = [&](int64_t j, Scratch& S) {
+        int hb = 0;
+        const int rc = align_one(
+            refs + ref_off[j], ref_len[j],
+            qrys + qry_off[j], qry_len[j],
+            ms[j], W[j], P, iupac_mask, max_paths_bytes, S,
+            ops + j * ops_cap * 2, ops_cap, &n_ops[j],
+            subs + j * subs_cap * 2, subs_cap, &n_subs[j],
+            &lead_ins[j], &hb);
+        hit_boundary[j] = hb;
+        status[j] = rc;
+    };
     auto worker = [&]() {
         Scratch S;
         for (;;) {
-            const int64_t j = next.fetch_add(1);
-            if (j >= n_jobs) break;
-            int hb = 0;
-            const int rc = align_one(
-                refs + ref_off[j], ref_len[j],
-                qrys + qry_off[j], qry_len[j],
-                ms[j], W[j], P, iupac_mask, max_paths_bytes, S,
-                ops + j * ops_cap * 2, ops_cap, &n_ops[j],
-                subs + j * subs_cap * 2, subs_cap, &n_subs[j],
-                &lead_ins[j], &hb);
-            hit_boundary[j] = hb;
-            status[j] = rc;
+            const int64_t p = next.fetch_add(1);
+            if (p >= n_jobs) break;
+            run_solo(order[(size_t)p], S);
         }
     };
-    if (n_threads <= 1 || n_jobs <= 1) {
+    if (nt <= 1 || n_jobs <= 1) {
         worker();
     } else {
         std::vector<std::thread> ts;
-        const int nt = (int)std::min<int64_t>(n_threads, n_jobs);
         ts.reserve(nt);
         for (int t = 0; t < nt; t++) ts.emplace_back(worker);
         for (auto& t : ts) t.join();

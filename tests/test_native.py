@@ -125,8 +125,8 @@ def test_stripe_scalar_and_vector_paths_agree():
     for s in range(len(refs)):
         if int(a["status"][s]) == 0:
             no, ns = int(a["n_ops"][s]), int(a["n_subs"][s])
-            assert np.array_equal(a["ops"][s, :no], b["ops"][s, :no]), s
-            assert np.array_equal(a["subs"][s, :ns], b["subs"][s, :ns]), s
+            assert np.array_equal(a["ops"][s][:no], b["ops"][s][:no]), s
+            assert np.array_equal(a["subs"][s][:ns], b["subs"][s][:ns]), s
 
 
 def test_sketch_native_matches_numpy():
