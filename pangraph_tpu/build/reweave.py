@@ -134,43 +134,92 @@ def extract_intervals(hits: list, block_length: int, thr_len: int) -> list:
 # --------------------------------------------------------------------------- #
 #  Block slicing                                                              #
 # --------------------------------------------------------------------------- #
-def _edit_arrays(ed: Edit):
+class _EditArrays:
     """Per-edit coordinate arrays (sub pos, del pos/end, ins pos/len) —
-    built once per node and reused across every interval of a partition."""
-    return (
-        np.fromiter((s.pos for s in ed.subs), np.int64, len(ed.subs)),
-        np.fromiter((d.pos for d in ed.dels), np.int64, len(ed.dels)),
-        np.fromiter((d.end for d in ed.dels), np.int64, len(ed.dels)),
-        np.fromiter((x.pos for x in ed.inss), np.int64, len(ed.inss)),
-        np.fromiter((len(x.seq) for x in ed.inss), np.int64, len(ed.inss)),
-    )
+    built once per node and reused across every interval of a partition.
+
+    When the edit's components are position-sorted (the Edit invariant; dels
+    additionally non-overlapping, edits.rs:569+), interval queries use
+    O(log n) searchsorted slices plus length prefix-sums instead of O(n)
+    boolean scans — the scans dominated reweave at Mbp block scale (every
+    interval of a partition re-scanned every node's full edit arrays).
+    Unsorted inputs (never produced by the pipeline, but not asserted) fall
+    back to the exact boolean-scan path.
+    """
+
+    __slots__ = ("sp", "dp", "de", "ip", "il", "sorted", "dlen_cum", "il_cum")
+
+    def __init__(self, ed: Edit):
+        self.sp = np.fromiter((s.pos for s in ed.subs), np.int64, len(ed.subs))
+        self.dp = np.fromiter((d.pos for d in ed.dels), np.int64, len(ed.dels))
+        self.de = np.fromiter((d.end for d in ed.dels), np.int64, len(ed.dels))
+        self.ip = np.fromiter((x.pos for x in ed.inss), np.int64, len(ed.inss))
+        self.il = np.fromiter((len(x.seq) for x in ed.inss), np.int64, len(ed.inss))
+        self.sorted = bool(
+            np.all(self.sp[1:] >= self.sp[:-1])
+            and np.all(self.dp[1:] >= self.de[:-1])  # sorted AND non-overlapping
+            and np.all(self.ip[1:] >= self.ip[:-1])
+        )
+        if self.sorted:
+            self.dlen_cum = np.concatenate(([0], np.cumsum(self.de - self.dp)))
+            self.il_cum = np.concatenate(([0], np.cumsum(self.il)))
+        else:
+            self.dlen_cum = self.il_cum = None
+
+
+def _edit_arrays(ed: Edit) -> _EditArrays:
+    return _EditArrays(ed)
 
 
 def slice_edits(i: PangraphInterval, ed: Edit, block_len: int, arrs=None) -> Edit:
-    # slice.rs:12-53. Membership tests vectorized: edits of Mbp-scale blocks
-    # hold ~1e4-1e5 elements and every interval of the partition scans them.
+    # slice.rs:12-53
     s0, e0 = i.interval.start, i.interval.end
-    sp, dp, de, ip, _il = arrs if arrs is not None else _edit_arrays(ed)
+    A = arrs if arrs is not None else _edit_arrays(ed)
+    sp, dp, de, ip = A.sp, A.dp, A.de, A.ip
     subs = []
     if ed.subs:
-        for k in np.flatnonzero((sp >= s0) & (sp < e0)):
-            s = ed.subs[k]
-            subs.append(Sub(s.pos - s0, s.alt))
+        if A.sorted:
+            lo = int(np.searchsorted(sp, s0, side="left"))
+            hi = int(np.searchsorted(sp, e0, side="left"))
+            for k in range(lo, hi):
+                s = ed.subs[k]
+                subs.append(Sub(s.pos - s0, s.alt))
+        else:
+            for k in np.flatnonzero((sp >= s0) & (sp < e0)):
+                s = ed.subs[k]
+                subs.append(Sub(s.pos - s0, s.alt))
     dels = []
     if ed.dels:
         # half-open overlap with [s0, e0)
-        for k in np.flatnonzero((dp < e0) & (de > s0)):
+        if A.sorted:
+            # non-overlapping sorted dels: ends are sorted too, so the
+            # overlap set {dp < e0 and de > s0} is the contiguous slice
+            lo = int(np.searchsorted(de, s0, side="right"))
+            hi = int(np.searchsorted(dp, e0, side="left"))
+            kk = range(lo, hi)
+        else:
+            kk = np.flatnonzero((dp < e0) & (de > s0))
+        for k in kk:
             d = ed.dels[k]
             ns = max(d.pos, s0) - s0
             ne = min(d.end, e0) - s0
             dels.append(Del(ns, ne - ns))
     inss = []
     if ed.inss:
-        sel = (ip >= s0) & (ip < e0)
-        if e0 == block_len:
-            # right edge included at block end (pangraph_interval.rs:44-47)
-            sel |= ip == block_len
-        for k in np.flatnonzero(sel):
+        if A.sorted:
+            lo = int(np.searchsorted(ip, s0, side="left"))
+            if e0 == block_len:
+                # right edge included at block end (pangraph_interval.rs:44-47)
+                hi = int(np.searchsorted(ip, block_len, side="right"))
+            else:
+                hi = int(np.searchsorted(ip, e0, side="left"))
+            kk = range(lo, hi)
+        else:
+            sel = (ip >= s0) & (ip < e0)
+            if e0 == block_len:
+                sel |= ip == block_len
+            kk = np.flatnonzero(sel)
+        for k in kk:
             x = ed.inss[k]
             inss.append(Ins(x.pos - s0, x.seq))
     return Edit(subs=subs, dels=dels, inss=inss)
@@ -203,20 +252,42 @@ def new_position_non_circular(old_position, node_coords, old_strand):
 
 def interval_node_coords(i: PangraphInterval, edits: Edit, block_len: int, arrs=None):
     # slice.rs:103-126: interval start/end projected into node coordinates
-    # (vectorized; per-element Python loops dominated reweave at Mbp scale)
     st, en = i.interval.start, i.interval.end
     s, e = st, en
-    _sp, dp, de, ip, il = arrs if arrs is not None else _edit_arrays(edits)
+    A = arrs if arrs is not None else _edit_arrays(edits)
+    dp, de, ip, il = A.dp, A.de, A.ip, A.il
     if edits.dels:
-        sel = dp <= st
-        s -= int(np.sum(np.minimum(de[sel], st) - dp[sel]))
-        sel = dp < en
-        e -= int(np.sum(np.minimum(de[sel], en) - dp[sel]))
+        if A.sorted:
+            # sum(min(de, t) - dp) over {dp cmp t}: full lengths via the
+            # prefix sum; only the LAST candidate can straddle t (sorted,
+            # non-overlapping), so clip its overshoot in O(1)
+            def del_reduction(t, side):
+                idx = int(np.searchsorted(dp, t, side=side))
+                red = int(A.dlen_cum[idx])
+                if idx and int(de[idx - 1]) > t:
+                    red -= int(de[idx - 1]) - t
+                return red
+
+            s -= del_reduction(st, "right")  # dp <= st
+            e -= del_reduction(en, "left")   # dp <  en
+        else:
+            sel = dp <= st
+            s -= int(np.sum(np.minimum(de[sel], st) - dp[sel]))
+            sel = dp < en
+            e -= int(np.sum(np.minimum(de[sel], en) - dp[sel]))
     if edits.inss:
-        s += int(il[ip < st].sum())
-        e += int(il[ip < en].sum())
-        if en == block_len:
-            e += int(il[ip == block_len].sum())
+        if A.sorted:
+            s += int(A.il_cum[np.searchsorted(ip, st, side="left")])
+            e += int(A.il_cum[np.searchsorted(ip, en, side="left")])
+            if en == block_len:
+                lo = int(np.searchsorted(ip, block_len, side="left"))
+                hi = int(np.searchsorted(ip, block_len, side="right"))
+                e += int(A.il_cum[hi]) - int(A.il_cum[lo])
+        else:
+            s += int(il[ip < st].sum())
+            e += int(il[ip < en].sum())
+            if en == block_len:
+                e += int(il[ip == block_len].sum())
     return s, e
 
 
