@@ -235,12 +235,19 @@ def mash_distance(seqs: list, k: int = 15, w: int = 100) -> np.ndarray:
         a, b = ids[s2], ids[s2 + 1]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         np.add.at(dist, (lo, hi), 1.0)
-    # larger groups: rare; python loop
-    for s, size in zip(starts[sizes > 2], sizes[sizes > 2]):
-        hit_ids = np.sort(ids[s : s + size])
-        for x in range(size):
-            for y in range(x + 1, size):
-                dist[hit_ids[x], hit_ids[y]] += 1.0
+    # larger groups, vectorized per group size: for closely related genome
+    # sets most core minimizers are shared by ALL inputs, so size-n groups
+    # dominate (a per-group python loop here was ~1.5 s of the headline
+    # build's guide tree). Group sizes are <= n_seqs, so per distinct size
+    # we gather the ids into an (n_groups, size) matrix and do one
+    # np.add.at per (x, y) column pair.
+    big = sizes > 2
+    for size in np.unique(sizes[big]):
+        sg = starts[sizes == size]
+        M = np.sort(ids[sg[:, None] + np.arange(size)], axis=1)
+        for x in range(int(size)):
+            for y in range(x + 1, int(size)):
+                np.add.at(dist, (M[:, x], M[:, y]), 1.0)
     dist = np.triu(dist) + np.triu(dist, 1).T
     for i in range(n):
         assert dist[i, i] > 0, f"no self-hit for sequence {i}"
