@@ -114,11 +114,28 @@ def build_index(seqs: list, names: list, p: MapperParams) -> MinimizerIndex:
     seq_ids = np.concatenate(sids) if sids else np.zeros(0, dtype=np.int32)
     positions = np.concatenate(poss) if poss else np.zeros(0, dtype=np.int64)
     strands = np.concatenate(strs) if strs else np.zeros(0, dtype=np.uint8)
+    sid_bounds_list = [len(v) for v in vals]
+    # native path: C++ radix sort + run structure + inverse permutation +
+    # occurrence cutoff in one GIL-released call (the index is rebuilt every
+    # merge round; this pass was ~3 s of the headline build in numpy)
+    if len(values):
+        from pangraph_tpu.native import index_build_native
+
+        nat = index_build_native(
+            values, seq_ids, positions, strands, p.mid_occ_frac, p.max_occ_floor
+        )
+        if nat is not None:
+            values, seq_ids, positions, strands, run_start, run_size, sid_order, max_occ = nat
+            sid_bounds = np.concatenate(([0], np.cumsum(sid_bounds_list, dtype=np.int64)))
+            return MinimizerIndex(
+                values, seq_ids, positions, strands, list(names), lengths, max_occ,
+                run_start, run_size, sid_order, sid_bounds,
+            )
+    # numpy fallback (also the native path's parity reference).
     # quicksort, not stable: within-run tie order is free to be arbitrary —
     # run membership/keep status depends only on the run, chaining lexsorts
     # its anchors, and the per-seq entry lists below use sketch order via
-    # the inverse permutation. Measured 3-4x faster than the radix sort at
-    # the headline's ~700k-entry index, 34+ rebuilds per build.
+    # the inverse permutation.
     order = np.argsort(values, kind="quicksort")
     values, seq_ids, positions, strands = values[order], seq_ids[order], positions[order], strands[order]
     # equal-value runs + per-sequence entry lists (self-join support)
@@ -215,6 +232,20 @@ def collect_anchors_all(index: MinimizerIndex, skip_unchanged: np.ndarray = None
     slots = np.flatnonzero((sz > 1) & (sz <= index.max_occ))
     if len(slots) == 0:
         return empty
+    # native path: run expansion + -X filter + pair-cache skip in one
+    # GIL-released C++ pass (identical emit order to the numpy path below)
+    from pangraph_tpu.native import anchors_all_native
+
+    heads = index.run_start[slots] == slots
+    hsz = sz[slots][heads]
+    bound = int((hsz * (hsz - 1)).sum())
+    skip_u8 = None if skip_unchanged is None else skip_unchanged.astype(np.uint8)
+    nat = anchors_all_native(
+        index.seq_ids, index.positions, index.strands,
+        index.run_start, index.run_size, index.max_occ, skip_u8, bound,
+    )
+    if nat is not None:
+        return nat
     s_sz = sz[slots]
     total = int(s_sz.sum())
     qslot = np.repeat(slots, s_sz)

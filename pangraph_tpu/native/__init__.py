@@ -48,7 +48,7 @@ def _arena_i64(n: int) -> np.ndarray:
 
 
 def _build_and_load(force_scalar: bool = False):
-    srcs = [os.path.join(_HERE, f) for f in ("chain.cpp", "stripe.cpp", "sketch.cpp")]
+    srcs = [os.path.join(_HERE, f) for f in ("chain.cpp", "stripe.cpp", "sketch.cpp", "index.cpp")]
     h = hashlib.blake2b(digest_size=8)
     for src in srcs:
         with open(src, "rb") as f:
@@ -71,6 +71,8 @@ def _bind(lib):
     lib.backtrace_band.restype = ctypes.c_int
     lib.stripe_align_batch.restype = None
     lib.sketch_native.restype = ctypes.c_int64
+    lib.index_build_native.restype = ctypes.c_int64
+    lib.anchors_all_native.restype = ctypes.c_int64
     return lib
 
 
@@ -316,3 +318,88 @@ def sketch_native(seq: np.ndarray, k: int, w: int, twobit: np.ndarray):
         strand.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return vals[:n].copy(), pos[:n].copy(), strand[:n].copy()
+
+
+def index_build_native(values, seq_ids, positions, strands, mid_occ_frac, max_occ_floor):
+    """Sorted minimizer index via C++ (radix sort + run structure + inverse
+    permutation + occurrence cutoff), or None if the native library is
+    unavailable. Exact parity with align/mapper.build_index's numpy path
+    (stable sort => deterministic tie order; the quicksort path documents
+    tie order as immaterial). Returns (values, seq_ids, positions, strands,
+    run_start, run_size, sid_order, max_occ); the arrays persist (fresh
+    allocations, not arena)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(values)
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    seq_ids = np.ascontiguousarray(seq_ids, dtype=np.int32)
+    positions = np.ascontiguousarray(positions, dtype=np.int64)
+    strands = np.ascontiguousarray(strands, dtype=np.uint8)
+    out_v = np.empty(n, dtype=np.uint64)
+    out_s = np.empty(n, dtype=np.int32)
+    out_p = np.empty(n, dtype=np.int64)
+    out_t = np.empty(n, dtype=np.uint8)
+    run_start = np.empty(n, dtype=np.int64)
+    run_size = np.empty(n, dtype=np.int64)
+    sid_order = np.empty(n, dtype=np.int64)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_u64p = ctypes.POINTER(ctypes.c_uint64)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    max_occ = lib.index_build_native(
+        ctypes.c_int64(n),
+        values.ctypes.data_as(c_u64p), seq_ids.ctypes.data_as(c_i32p),
+        positions.ctypes.data_as(c_i64p), strands.ctypes.data_as(c_u8p),
+        ctypes.c_double(mid_occ_frac), ctypes.c_int64(max_occ_floor),
+        out_v.ctypes.data_as(c_u64p), out_s.ctypes.data_as(c_i32p),
+        out_p.ctypes.data_as(c_i64p), out_t.ctypes.data_as(c_u8p),
+        run_start.ctypes.data_as(c_i64p), run_size.ctypes.data_as(c_i64p),
+        sid_order.ctypes.data_as(c_i64p),
+    )
+    return out_v, out_s, out_p, out_t, run_start, run_size, sid_order, int(max_occ)
+
+
+def anchors_all_native(seq_ids, positions, strands, run_start, run_size, max_occ, skip_unchanged, bound):
+    """All-vs-all anchor expansion via C++ (collect_anchors_all parity,
+    identical emit order), or None if the native library is unavailable.
+    `bound` = sum(size*(size-1)) over kept runs (caller-computed upper
+    bound); the C++ writes into per-thread arena buffers and the kept
+    entries are compact-copied out."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(seq_ids)
+    seq_ids = np.ascontiguousarray(seq_ids, dtype=np.int32)
+    positions = np.ascontiguousarray(positions, dtype=np.int64)
+    strands = np.ascontiguousarray(strands, dtype=np.uint8)
+    run_start = np.ascontiguousarray(run_start, dtype=np.int64)
+    run_size = np.ascontiguousarray(run_size, dtype=np.int64)
+    # one arena block, partitioned: qi/rid (i32), rpos/qpos (i64), rel (u8)
+    i32buf = _arena_buf("anch_i32", 2 * bound, np.int32)
+    i64buf = _arena_buf("anch_i64", 2 * bound, np.int64)
+    u8buf = _arena_buf("anch_u8", bound, np.uint8)
+    qi, rid = i32buf[:bound], i32buf[bound:]
+    rpos, qpos = i64buf[:bound], i64buf[bound:]
+    rel = u8buf
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    if skip_unchanged is not None:
+        skip_unchanged = np.ascontiguousarray(skip_unchanged, dtype=np.uint8)
+        skip_p = skip_unchanged.ctypes.data_as(c_u8p)
+    else:
+        skip_p = ctypes.POINTER(ctypes.c_uint8)()
+    kept = lib.anchors_all_native(
+        ctypes.c_int64(n),
+        seq_ids.ctypes.data_as(c_i32p), positions.ctypes.data_as(c_i64p),
+        strands.ctypes.data_as(c_u8p),
+        run_start.ctypes.data_as(c_i64p), run_size.ctypes.data_as(c_i64p),
+        ctypes.c_int64(max_occ), skip_p,
+        qi.ctypes.data_as(c_i32p), rid.ctypes.data_as(c_i32p),
+        rpos.ctypes.data_as(c_i64p), qpos.ctypes.data_as(c_i64p),
+        rel.ctypes.data_as(c_u8p),
+    )
+    kept = int(kept)
+    return (qi[:kept].copy(), rid[:kept].copy(), rpos[:kept].copy(),
+            qpos[:kept].copy(), rel[:kept].copy())

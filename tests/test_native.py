@@ -230,3 +230,59 @@ def test_chain_extract_native_matches_python():
         assert len(got_chains) == len(want_chains)
         for a, b in zip(got_chains, want_chains):
             assert np.array_equal(a, b), trial
+
+
+def test_index_build_and_anchors_native_match_numpy():
+    """C++ index build (radix sort + runs + inverse permutation + max_occ)
+    and all-vs-all anchor expansion match the numpy fallback exactly up to
+    within-run tie order (which build_index documents as immaterial)."""
+    import pangraph_tpu.native as native
+    from pangraph_tpu.align.mapper import MapperParams, build_index, collect_anchors_all
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    base = ACGT[rng.integers(0, 4, 20000)]
+    seqs = []
+    for i in range(6):
+        q = base.copy()
+        idx = rng.choice(len(q), 300, replace=False)
+        q[idx] = ACGT[rng.integers(0, 4, 300)]
+        seqs.append(q)
+    names = [f"s{i}" for i in range(6)]
+    p = MapperParams.from_sensitivity(10, 100)
+
+    ix_nat = build_index(seqs, names, p)
+    real_ib, real_aa = native.index_build_native, native.anchors_all_native
+    try:
+        native.index_build_native = lambda *a, **k: None
+        native.anchors_all_native = lambda *a, **k: None
+        ix_np = build_index(seqs, names, p)
+        an_np = collect_anchors_all(ix_np)
+        sk = np.zeros(6, dtype=bool)
+        sk[:4] = True
+        an_np_skip = collect_anchors_all(ix_np, skip_unchanged=sk)
+    finally:
+        native.index_build_native, native.anchors_all_native = real_ib, real_aa
+    an_nat = collect_anchors_all(ix_nat)
+    an_nat_skip = collect_anchors_all(ix_nat, skip_unchanged=sk)
+
+    assert ix_nat.max_occ == ix_np.max_occ
+    assert np.array_equal(ix_nat.values, ix_np.values)
+    assert np.array_equal(ix_nat.run_start, ix_np.run_start)
+    assert np.array_equal(ix_nat.run_size, ix_np.run_size)
+
+    def entry_set(ix):
+        a = np.stack([
+            ix.values.astype(np.int64), ix.seq_ids.astype(np.int64),
+            ix.positions, ix.strands.astype(np.int64),
+        ])
+        return set(map(tuple, a.T.tolist()))
+
+    assert entry_set(ix_nat) == entry_set(ix_np)
+
+    def aset(an):
+        return set(zip(an[0].tolist(), an[1].tolist(), an[2].tolist(), an[3].tolist(), an[4].tolist()))
+
+    assert aset(an_nat) == aset(an_np)
+    assert aset(an_nat_skip) == aset(an_np_skip)
