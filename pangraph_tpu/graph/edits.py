@@ -23,7 +23,7 @@ import numpy as np
 from pangraph_tpu.graph.seq import GAP, as_seq, complement, revcomp
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class Sub:
     pos: int
     alt: str  # single character
@@ -36,7 +36,7 @@ class Sub:
         return Sub(self.pos + delta, self.alt)
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class Del:
     pos: int
     len: int
@@ -56,7 +56,7 @@ class Del:
         return Del(self.pos + delta, self.len)
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class Ins:
     pos: int
     seq: str
@@ -69,7 +69,7 @@ class Ins:
         return Ins(max(self.pos + delta, 0), self.seq)
 
 
-@dataclass
+@dataclass(slots=True)
 class Edit:
     """An edit set: substitutions, deletions, insertions (edits.rs:116)."""
 
