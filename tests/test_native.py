@@ -286,3 +286,26 @@ def test_index_build_and_anchors_native_match_numpy():
 
     assert aset(an_nat) == aset(an_np)
     assert aset(an_nat_skip) == aset(an_np_skip)
+
+
+def test_stripe_results_survive_next_call_same_thread():
+    """The flat result buffers come from a per-thread grow-only arena;
+    returned dicts must hold compact COPIES so a call's results stay valid
+    after the same thread's next call (e.g. the overflow retry path calls
+    again while still holding the first result's rows)."""
+    rng = np.random.default_rng(42)
+    p = BandedAlignParams()
+    ref = ACGT[rng.integers(0, 4, 800)]
+    qry = _mutate(ref, 25, 2, rng)
+    first = stripe_align_batch_native([ref], [qry], np.array([0]), np.array([30]), p, IUPAC_MASK)
+    ops0 = first["ops"][0].copy()
+    subs0 = first["subs"][0].copy()
+    # a second, different call on the same thread (bigger caps grow the arena)
+    ref2 = ACGT[rng.integers(0, 4, 3000)]
+    qry2 = _mutate(ref2, 100, 6, rng)
+    stripe_align_batch_native(
+        [ref2], [qry2], np.array([0]), np.array([60]), p, IUPAC_MASK,
+        ops_cap=1 << 20, subs_cap=1 << 21,
+    )
+    assert np.array_equal(first["ops"][0], ops0)
+    assert np.array_equal(first["subs"][0], subs0)
