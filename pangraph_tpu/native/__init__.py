@@ -305,9 +305,11 @@ def sketch_native(seq: np.ndarray, k: int, w: int, twobit: np.ndarray):
     seq = np.ascontiguousarray(seq, dtype=np.uint8)
     L = len(seq)
     cap = max(L - k + 1, 1)
-    vals = np.empty(cap, dtype=np.uint64)
-    pos = np.empty(cap, dtype=np.int64)
-    strand = np.empty(cap, dtype=np.uint8)
+    # arena buffers (results are compact-copied below): a fresh ~80 MB
+    # np.empty per chromosome-scale sketch pays the VM's fault-storm tax
+    vals = _arena_buf("sk_u64", cap, np.uint64)
+    pos = _arena_buf("sk_i64", cap, np.int64)
+    strand = _arena_buf("sk_u8", cap, np.uint8)
     tb = np.ascontiguousarray(twobit, dtype=np.uint8)
     n = lib.sketch_native(
         seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
